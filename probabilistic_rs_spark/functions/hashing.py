@@ -1,0 +1,298 @@
+"""Hashing kernels — the bit-parity anchor with the reference.
+
+The reference's entire Bloom index derivation is
+(``src/hash.rs:33-77``):
+
+* ``hash_murmur32``  — Murmur3 x86 32-bit, **seed 0**
+* ``hash_fnv32``     — FNV-1a **64-bit**, truncated to u32 (``finish() as u32``)
+* ``default_hash_function`` — Kirsch–Mitzenmacher double hashing
+  ``h_i = (h1 + i · h2) mod m`` with wrapping u32 arithmetic
+
+and the sizing formulas (``src/hash.rs:103-106, 132-134``):
+
+* ``m = ceil(-n · ln p / ln² 2)``
+* ``k = round((m / n) · ln 2)``
+
+Everything here is implemented twice: a scalar pure-Python version
+(readable spec, used to pin test vectors) and a numpy-vectorized version
+that processes a whole Arrow batch of byte strings at once — the Spark
+analog of the reference's batch-hash-then-single-lock ``insert_bulk``
+(``src/bloom/filter.rs:395-438``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+U32 = np.uint32
+U64 = np.uint64
+
+_C1 = 0xCC9E2D51
+_C2 = 0x1B873593
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_M32 = 0xFFFFFFFF
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# Scalar reference implementations (spec + test-vector source)
+# ---------------------------------------------------------------------------
+
+def _rotl32(x: int, r: int) -> int:
+    return ((x << r) | (x >> (32 - r))) & _M32
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3 x86 32-bit, scalar. Parity: reference ``src/hash.rs:33-36``
+    (murmur3 crate, seed 0)."""
+    h = seed & _M32
+    nblocks = len(data) // 4
+    for i in range(nblocks):
+        k = int.from_bytes(data[4 * i : 4 * i + 4], "little")
+        k = (k * _C1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * _C2) & _M32
+        h ^= k
+        h = _rotl32(h, 13)
+        h = (h * 5 + 0xE6546B64) & _M32
+    tail = data[nblocks * 4 :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * _C1) & _M32
+        k = _rotl32(k, 15)
+        k = (k * _C2) & _M32
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _M32
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _M32
+    h ^= h >> 16
+    return h
+
+
+def fnv1a64(data: bytes) -> int:
+    """FNV-1a 64-bit, scalar."""
+    h = _FNV_OFFSET
+    for b in data:
+        h ^= b
+        h = (h * _FNV_PRIME) & _M64
+    return h
+
+
+def fnv1a32_truncated(data: bytes) -> int:
+    """Reference ``hash_fnv32``: 64-bit FNV-1a, low 32 bits
+    (``src/hash.rs:38-42`` — ``finish() as u32``)."""
+    return fnv1a64(data) & _M32
+
+
+def double_hash_indices(data: bytes, num_hashes: int, capacity: int) -> list[int]:
+    """Scalar Kirsch–Mitzenmacher: ``(h1 + i*h2) % capacity`` with
+    wrapping u32 arithmetic. Parity: ``src/hash.rs:67-77``."""
+    h1 = murmur3_32(data)
+    h2 = fnv1a32_truncated(data)
+    return [((h1 + (i * h2) & _M32) & _M32) % capacity for i in range(num_hashes)]
+
+
+# ---------------------------------------------------------------------------
+# Sizing formulas (driver-side; reference src/hash.rs:103-134)
+# ---------------------------------------------------------------------------
+
+def optimal_bit_vector_size(n: int, fpr: float) -> int:
+    """``m = ceil(-n·ln(fpr)/ln²2)`` — reference ``src/hash.rs:103-106``."""
+    ln2 = math.log(2.0)
+    return int(math.ceil((-float(n) * math.log(fpr)) / (ln2 * ln2)))
+
+
+def optimal_num_hashes(n: int, m: int) -> int:
+    """``k = round((m/n)·ln2)`` — reference ``src/hash.rs:132-134``.
+
+    Rust's ``f64::round`` rounds half away from zero; Python's ``round``
+    is banker's rounding, so use floor(x+0.5) for parity.
+    """
+    x = (float(m) / float(n)) * math.log(2.0)
+    return int(math.floor(x + 0.5))
+
+
+def calculate_level_fpr(target_fpr: float, num_levels: int, active_ratio: float) -> float:
+    """Per-level FPR for a multi-level filter — reference
+    ``src/hash.rs:150-159``. NOTE: dead code in the reference (the expiring
+    filter sizes each level with the raw target fpr,
+    ``src/ebloom/filter.rs:42-45``); kept for documentation parity.
+    """
+    effective_levels = 1.0 + (num_levels - 1) * active_ratio
+    return 1.0 - (1.0 - target_fpr) ** (1.0 / effective_levels)
+
+
+# ---------------------------------------------------------------------------
+# Vectorized batch kernels
+# ---------------------------------------------------------------------------
+
+def _pad_batch(items: np.ndarray | list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Pack a batch of byte strings into (N, maxlen) uint8 + lengths.
+
+    maxlen is rounded up to a multiple of 4 (+4 pad) so block/tail gathers
+    never go out of bounds.
+    """
+    n = len(items)
+    lens = np.fromiter((len(b) for b in items), dtype=np.int64, count=n)
+    maxlen = int(lens.max()) if n else 0
+    maxlen = ((maxlen + 4) // 4) * 4  # always >= len+1, multiple of 4
+    buf = np.zeros((n, maxlen), dtype=np.uint8)
+    for i, b in enumerate(items):
+        if b:
+            buf[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    return buf, lens
+
+
+def pad_batch_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Pack an Arrow binary/string array into (N, maxlen) uint8 + lengths
+    WITHOUT per-row Python: reads the Arrow offsets+data buffers directly
+    and scatters with one vectorized gather. Null entries become length 0.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_binary() if pa.types.is_large_string(arr.type) else pa.binary())
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)
+    offsets = offsets[arr.offset : arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.zeros(0, np.uint8)
+    lens = np.diff(offsets)
+    if arr.null_count:
+        valid_mask = np.asarray(arr.is_valid())
+        lens = np.where(valid_mask, lens, 0)
+    n = len(arr)
+    maxlen = int(lens.max()) if n and lens.max() > 0 else 0
+    maxlen = ((maxlen + 4) // 4) * 4
+    out = np.zeros((n, maxlen), dtype=np.uint8)
+    if maxlen:
+        pos = np.arange(maxlen, dtype=np.int64)
+        valid = pos[None, :] < lens[:, None]
+        src = offsets[:-1, None] + pos[None, :]
+        out[valid] = data[src[valid]]
+    return out, lens
+
+
+def murmur3_32_batch(buf: np.ndarray, lens: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Vectorized Murmur3 x86 32-bit over an (N, maxlen) uint8 matrix.
+
+    Sequential over block index (maxlen/4 iterations), vectorized over rows
+    — i.e. O(max_item_len) numpy ops per batch regardless of batch size.
+    """
+    n, maxlen = buf.shape
+    c1 = U32(_C1)
+    c2 = U32(_C2)
+    h = np.full(n, seed, dtype=U32)
+    # little-endian 4-byte blocks
+    blocks = buf.reshape(n, maxlen // 4, 4).astype(U32)
+    blocks = (
+        blocks[:, :, 0]
+        | (blocks[:, :, 1] << U32(8))
+        | (blocks[:, :, 2] << U32(16))
+        | (blocks[:, :, 3] << U32(24))
+    )
+    nblocks = (lens // 4).astype(np.int64)
+    max_blocks = int(nblocks.max()) if n else 0
+    for j in range(max_blocks):
+        mask = nblocks > j
+        k = (blocks[:, j] * c1).astype(U32)
+        k = ((k << U32(15)) | (k >> U32(17))).astype(U32)
+        k = (k * c2).astype(U32)
+        hj = h ^ k
+        hj = ((hj << U32(13)) | (hj >> U32(19))).astype(U32)
+        hj = (hj * U32(5) + U32(0xE6546B64)).astype(U32)
+        h = np.where(mask, hj, h)
+    # tail (1-3 trailing bytes)
+    tail_len = (lens % 4).astype(np.int64)
+    base = (nblocks * 4).astype(np.int64)
+    rows = np.arange(n)
+    b0 = buf[rows, base].astype(U32)
+    b1 = buf[rows, np.minimum(base + 1, maxlen - 1)].astype(U32)
+    b2 = buf[rows, np.minimum(base + 2, maxlen - 1)].astype(U32)
+    k = np.zeros(n, dtype=U32)
+    k = np.where(tail_len >= 3, k ^ (b2 << U32(16)), k)
+    k = np.where(tail_len >= 2, k ^ (b1 << U32(8)), k)
+    k = np.where(tail_len >= 1, k ^ b0, k)
+    k = (k * c1).astype(U32)
+    k = ((k << U32(15)) | (k >> U32(17))).astype(U32)
+    k = (k * c2).astype(U32)
+    h = np.where(tail_len >= 1, h ^ k, h)
+    # finalize
+    h = h ^ lens.astype(U32)
+    h ^= h >> U32(16)
+    h = (h * U32(0x85EBCA6B)).astype(U32)
+    h ^= h >> U32(13)
+    h = (h * U32(0xC2B2AE35)).astype(U32)
+    h ^= h >> U32(16)
+    return h
+
+
+def fnv1a64_batch(buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit. Sequential over byte position, vectorized
+    over rows — fine for short keys (urls); long-text callers should hash a
+    digest instead."""
+    n, maxlen = buf.shape
+    h = np.full(n, _FNV_OFFSET, dtype=U64)
+    prime = U64(_FNV_PRIME)
+    max_len = int(lens.max()) if n else 0
+    for pos in range(max_len):
+        mask = lens > pos
+        hp = ((h ^ buf[:, pos].astype(U64)) * prime).astype(U64)
+        h = np.where(mask, hp, h)
+    return h
+
+
+def bloom_index_padded(
+    buf: np.ndarray, lens: np.ndarray, num_hashes: int, capacity: int
+) -> np.ndarray:
+    """(N, k) int64 matrix of Bloom bit indices from a padded batch.
+
+    Bit-identical to the reference's per-item
+    ``default_hash_function(item, k, m)`` (``src/hash.rs:67-77``).
+    """
+    h1 = murmur3_32_batch(buf, lens)
+    h2 = (fnv1a64_batch(buf, lens) & U64(_M32)).astype(U32)
+    i = np.arange(num_hashes, dtype=U32)
+    with np.errstate(over="ignore"):
+        idx = (h1[:, None] + i[None, :] * h2[:, None]).astype(U32) % U32(capacity)
+    return idx.astype(np.int64)
+
+
+def bloom_index_batch(
+    items: np.ndarray | list[bytes], num_hashes: int, capacity: int
+) -> np.ndarray:
+    """As :func:`bloom_index_padded` but packing a list of byte strings."""
+    buf, lens = _pad_batch(items)
+    return bloom_index_padded(buf, lens, num_hashes, capacity)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — used as the cheap 64-bit mixer for
+    paper-derived sketches (HLL/CMS/minhash) when hashes are produced
+    Python-side. Public-domain algorithm (Steele et al.)."""
+    z = (x.astype(U64) + U64(0x9E3779B97F4A7C15)).astype(U64)
+    z = ((z ^ (z >> U64(30))) * U64(0xBF58476D1CE4E5B9)).astype(U64)
+    z = ((z ^ (z >> U64(27))) * U64(0x94D049BB133111EB)).astype(U64)
+    return z ^ (z >> U64(31))
+
+
+def hash64_batch(items: np.ndarray | list[bytes]) -> np.ndarray:
+    """64-bit hash of a byte-string batch: murmur32(seed 0) and fnv1a64
+    combined through splitmix64. Used by HLL/CMS/minhash kernels when the
+    JVM-side xxhash64 pre-hash path is not taken."""
+    buf, lens = _pad_batch(items)
+    lo = murmur3_32_batch(buf, lens).astype(U64)
+    hi = fnv1a64_batch(buf, lens)
+    return splitmix64((hi << U64(1)) ^ lo)

@@ -1,0 +1,321 @@
+"""Generic partial/merge sketch aggregation — the core distributed operator.
+
+This is the Spark restatement of the reference's whole execution model
+(SURVEY.md §3.1): the reference's ``insert_bulk`` (batch-hash, then one
+lock — ``src/bloom/filter.rs:395-438``) becomes a ``mapInArrow`` kernel
+that absorbs a whole Arrow batch per Python call; the merge step the
+reference never ships (bitwise OR / register max / counter add /
+compactor merge) becomes an ``applyInPandas`` group-merge after a single
+shuffle of tiny binary states.
+
+Plan shape (the only network boundary is the one partial-state shuffle):
+
+    scan (column-pruned: group cols + value cols only)
+      → [JVM] xxhash64 / cast / encode           (whole-stage codegen)
+      → mapInArrow partial-build                 (1 row per key per partition)
+      → exchange on group key                    (bytes ≪ input data)
+      → [optional pre-merge by pid % fanin]      (tree reduce for huge fan-in)
+      → applyInPandas merge                      (1 row per key)
+
+Scale notes (100 TB / 1000 executors):
+* Shuffled volume is ``n_keys_per_partition × state_bytes`` — independent
+  of row count. A 16 KB HLL over 100k input partitions shuffles ~1.6 GB
+  total; with ``tree_fanin`` the final reducer sees ``fanin`` rows max.
+* Partial build is map-side combine: one output row per (partition, key).
+* Merge order inside a group is sorted by partition id, so results are
+  bit-identical across runs, shuffle orders, and parallelism levels for
+  Bloom/HLL/CMS (and deterministic for t-digest/KLL too at a fixed input
+  partitioning).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from probabilistic_rs_spark.errors import SketchConfigError
+from probabilistic_rs_spark.sketches.bloom import BloomConfig, BloomSketch
+from probabilistic_rs_spark.sketches.cms import CountMinSketch
+from probabilistic_rs_spark.sketches.hll import HyperLogLog
+from probabilistic_rs_spark.sketches.kll import KLLSketch
+from probabilistic_rs_spark.sketches.tdigest import TDigest
+
+# value representation each sketch kind consumes
+_VALUE_KIND = {
+    "bloom": "bytes",   # raw bytes (reference-parity murmur3+fnv hashing in kernel)
+    "hll": "hash",      # JVM-side xxhash64 → kernel only does register max
+    "cms": "hash",      # JVM-side xxhash64 → kernel only does counter scatter
+    "tdigest": "float",
+    "kll": "float",
+}
+
+
+@dataclass(frozen=True)
+class SketchSpec:
+    """One sketch over one input column.
+
+    ``params`` are forwarded to the sketch constructor:
+      bloom: capacity, false_positive_rate; hll: p, sparse_threshold;
+      cms: eps, delta; tdigest: delta; kll: k.
+    """
+
+    name: str
+    kind: str
+    column: str
+    params: dict = field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.kind not in _VALUE_KIND:
+            raise SketchConfigError(f"unknown sketch kind {self.kind!r}")
+        # validate params driver-side, before any job launches (reference
+        # idiom: config validation at construction, src/bloom/config.rs:31-44)
+        self.make()
+
+    def make(self):
+        if self.kind == "bloom":
+            return BloomSketch(BloomConfig(**self.params))
+        if self.kind == "hll":
+            return HyperLogLog(**self.params)
+        if self.kind == "cms":
+            return CountMinSketch(**self.params)
+        if self.kind == "tdigest":
+            return TDigest(**self.params)
+        return KLLSketch(**self.params)
+
+    @property
+    def value_kind(self) -> str:
+        return _VALUE_KIND[self.kind]
+
+    @property
+    def state_col(self) -> str:
+        return f"{self.name}_state"
+
+
+def _value_expr(spec: SketchSpec) -> Column:
+    """JVM-side value preparation — stays inside whole-stage codegen."""
+    col = F.col(spec.column)
+    vk = spec.value_kind
+    if vk == "hash":
+        return F.xxhash64(col.cast("string")).alias(f"__v_{spec.name}")
+    if vk == "float":
+        return col.cast("double").alias(f"__v_{spec.name}")
+    # bytes: canonical encoding = UTF-8 of the string form
+    return F.encode(col.cast("string"), "UTF-8").alias(f"__v_{spec.name}")
+
+
+def _update_sketch(spec: SketchSpec, sketch, prepared, rows: np.ndarray) -> None:
+    vk = spec.value_kind
+    if vk == "hash":
+        sketch.update_hashes(prepared[rows])
+    elif vk == "float":
+        sketch.update_values(prepared[rows])
+    else:
+        buf, lens = prepared
+        sketch.update_padded(buf[rows], lens[rows])
+
+
+def _prepare_value(spec: SketchSpec, batch, colname: str):
+    import pyarrow as pa
+
+    from probabilistic_rs_spark.functions.hashing import pad_batch_arrow
+
+    arr = batch.column(colname)
+    vk = spec.value_kind
+    if vk == "hash":
+        a = arr.to_numpy(zero_copy_only=False)
+        return a.astype(np.int64, copy=False).view(np.uint64)
+    if vk == "float":
+        return arr.to_numpy(zero_copy_only=False)  # nulls → NaN, dropped in kernel
+    return pad_batch_arrow(arr)
+
+
+def sketch_partials(
+    df: DataFrame, group_cols: list[str], specs: list[SketchSpec]
+) -> DataFrame:
+    """Stage 1: per-partition partial sketch states, one row per
+    (partition, group key). Output columns:
+    ``group_cols…, __pid int, {name}_state binary…, n_updates long``.
+    """
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    proj = [F.col(g) for g in group_cols] + [_value_expr(s) for s in specs]
+    projected = df.select(*proj)
+
+    in_schema = projected.schema
+    out_fields = [in_schema[g] for g in group_cols]
+    out_fields.append(StructField("__pid", IntegerType(), False))
+    out_fields += [StructField(s.state_col, BinaryType(), False) for s in specs]
+    out_fields.append(StructField("n_updates", LongType(), False))
+    out_schema = StructType(out_fields)
+    arrow_schema = to_arrow_schema(out_schema)
+    specs_local = list(specs)
+    group_local = list(group_cols)
+
+    def build(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        import pandas as pd
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        acc: dict[tuple, list] = {}
+        counts: dict[tuple, int] = {}
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            prepared = [
+                _prepare_value(s, batch, f"__v_{s.name}") for s in specs_local
+            ]
+            if group_local:
+                gframe = pa.Table.from_batches([batch]).select(group_local).to_pandas()
+                groups = gframe.groupby(group_local, sort=False, dropna=False).indices
+                items = [
+                    (k if isinstance(k, tuple) else (k,), np.asarray(v))
+                    for k, v in groups.items()
+                ]
+            else:
+                items = [((), np.arange(n))]
+            for key, rows in items:
+                sketches = acc.get(key)
+                if sketches is None:
+                    sketches = [s.make() for s in specs_local]
+                    acc[key] = sketches
+                    counts[key] = 0
+                counts[key] += len(rows)
+                for spec, sk, prep in zip(specs_local, sketches, prepared):
+                    _update_sketch(spec, sk, prep, rows)
+        if not acc:
+            return
+        keys = list(acc.keys())
+        arrays = []
+        for i, g in enumerate(group_local):
+            vals = [k[i] for k in keys]
+            arrays.append(pa.array(vals, type=arrow_schema.field(i).type))
+        arrays.append(pa.array([pid] * len(keys), type=pa.int32()))
+        for j, spec in enumerate(specs_local):
+            arrays.append(
+                pa.array([acc[k][j].to_bytes() for k in keys], type=pa.binary())
+            )
+        arrays.append(pa.array([counts[k] for k in keys], type=pa.int64()))
+        yield pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+    return projected.mapInArrow(build, out_schema)
+
+
+def _merge_fn_factory(group_cols: list[str], specs: list[SketchSpec], out_schema):
+    def merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic merge order regardless of shuffle arrival
+        pdf = pdf.sort_values("__pid", kind="stable")
+        row: dict = {g: pdf[g].iloc[0] for g in group_cols}
+        row["__pid"] = int(pdf["__pid"].iloc[0])
+        for spec in specs:
+            blobs = pdf[spec.state_col]
+            cls = type(spec.make())
+            merged = cls.from_bytes(blobs.iloc[0])
+            for b in blobs.iloc[1:]:
+                merged.merge(cls.from_bytes(b))
+            row[spec.state_col] = merged.to_bytes()
+        row["n_updates"] = int(pdf["n_updates"].sum())
+        return pd.DataFrame([{f.name: row[f.name] for f in out_schema.fields}])
+
+    return merge_fn
+
+
+def sketch_merge(
+    partials: DataFrame,
+    group_cols: list[str],
+    specs: list[SketchSpec],
+    tree_fanin: int | None = None,
+) -> DataFrame:
+    """Stage 2: shuffle partials by group key and fold states.
+
+    ``tree_fanin``: optional two-level reduce — partials are first merged
+    within buckets of ``__pid % fanin`` so the final reducer per key sees at
+    most ``fanin`` rows (treeAggregate analog; essential for global sketches
+    over ~10⁵ input partitions).
+    """
+    in_schema = partials.schema
+    mid_fields = [in_schema[g] for g in group_cols]
+    mid_fields.append(StructField("__pid", IntegerType(), False))
+    mid_fields += [StructField(s.state_col, BinaryType(), False) for s in specs]
+    mid_fields.append(StructField("n_updates", LongType(), False))
+    mid_schema = StructType(mid_fields)
+
+    cur = partials
+    if tree_fanin and tree_fanin > 1:
+        pre = cur.withColumn("__bucket", F.pmod(F.col("__pid"), F.lit(tree_fanin)))
+        fn = _merge_fn_factory(group_cols, specs, mid_schema)
+        cur = pre.groupBy(*(group_cols + ["__bucket"])).applyInPandas(fn, mid_schema)
+
+    fn = _merge_fn_factory(group_cols, specs, mid_schema)
+    if group_cols:
+        merged = cur.groupBy(*group_cols).applyInPandas(fn, mid_schema)
+    else:
+        merged = (
+            cur.withColumn("__g", F.lit(1))
+            .groupBy("__g")
+            .applyInPandas(fn, mid_schema)
+        )
+    return merged.drop("__pid")
+
+
+def sketch_aggregate(
+    df: DataFrame,
+    group_cols: list[str],
+    specs: list[SketchSpec],
+    tree_fanin: int | None = None,
+) -> DataFrame:
+    """End-to-end: partial build → shuffle → merge. Returns one row per
+    group with ``{name}_state`` binary columns + ``n_updates``."""
+    return sketch_merge(sketch_partials(df, group_cols, specs), group_cols, specs, tree_fanin)
+
+
+# ---------------------------------------------------------------------------
+# Finishers (estimate columns from merged states)
+# ---------------------------------------------------------------------------
+
+def with_hll_estimate(df: DataFrame, state_col: str, out_col: str) -> DataFrame:
+    """Adds a bigint estimate column from an HLL state column."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def est(states: pd.Series) -> pd.Series:
+        return states.map(
+            lambda b: int(round(HyperLogLog.from_bytes(b).estimate()))
+        ).astype("int64")
+
+    return df.withColumn(out_col, est(F.col(state_col)))
+
+
+def with_quantiles(
+    df: DataFrame, state_col: str, kind: str, qs: list[float], out_col: str
+) -> DataFrame:
+    """Adds an array<double> column of quantile estimates from a
+    t-digest/KLL state column."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType
+
+    cls = TDigest if kind == "tdigest" else KLLSketch
+    qs_local = list(qs)
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def quant(states: pd.Series) -> pd.Series:
+        return states.map(
+            lambda b: [float(x) for x in cls.from_bytes(b).quantile(np.array(qs_local))]
+        )
+
+    return df.withColumn(out_col, quant(F.col(state_col)))

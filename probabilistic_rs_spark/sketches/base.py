@@ -1,0 +1,39 @@
+"""Shared serialization helpers for sketch states.
+
+Binary layout mirrors the reference's idiom of a bincode-encoded config
+followed by raw state chunks (``src/bloom/config.rs:46-55``,
+``src/bloom/filter.rs:245-273``): a 8-byte magic+type+version header, a
+little-endian struct of config/derived parameters, then raw numpy buffers.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from probabilistic_rs_spark.errors import SketchStateError
+
+MAGIC = b"PRS1"
+
+TYPE_BLOOM = 1
+TYPE_HLL = 2
+TYPE_CMS = 3
+TYPE_TDIGEST = 4
+TYPE_KLL = 5
+
+_HEADER = struct.Struct("<4sHH")  # magic, type, version
+
+
+def pack_header(sketch_type: int, version: int = 1) -> bytes:
+    return _HEADER.pack(MAGIC, sketch_type, version)
+
+
+def unpack_header(data: bytes, expect_type: int) -> tuple[int, int]:
+    """Returns (version, payload_offset); raises on mismatch."""
+    if len(data) < _HEADER.size:
+        raise SketchStateError(f"state too short: {len(data)} bytes")
+    magic, typ, version = _HEADER.unpack_from(data, 0)
+    if magic != MAGIC:
+        raise SketchStateError(f"bad magic {magic!r}")
+    if typ != expect_type:
+        raise SketchStateError(f"sketch type mismatch: got {typ}, want {expect_type}")
+    return version, _HEADER.size

@@ -1,0 +1,224 @@
+"""Bloom filter core — bit-parity-anchored to the reference.
+
+Semantics reproduced from ``/root/reference``:
+
+* sizing: ``m = ceil(-n·ln p/ln²2)``, ``k = round((m/n)·ln2)``
+  (``src/hash.rs:103-106, 132-134``, applied at ``src/bloom/filter.rs:154-156``)
+* indices: Kirsch–Mitzenmacher double hashing over murmur3-32(seed 0) and
+  FNV-1a-64-truncated-to-u32 (``src/hash.rs:33-77``)
+* bit layout: LSB-first within each byte — byte ``i>>3``, bit ``i&7`` —
+  matching the reference's chunk packing (``src/bloom/filter.rs:245-273``)
+* chunked state: ``chunk_size_bytes`` windows (default 4096,
+  ``src/bloom/config.rs:25-26``) with dirty-chunk tracking for incremental
+  checkpoints (``src/bloom/filter.rs:221-243``)
+* config defaults + validation: capacity 1_000_000, fpr 0.01; capacity>0,
+  0<fpr<1 (``src/bloom/config.rs:9-44``)
+
+The Spark-side adaptation (SURVEY.md §1.2): the filter is a mergeable
+binary state; ``merge`` is bitwise OR of equal-config filters (the textbook
+Bloom union — the one operation the reference never ships because it has no
+distributed merge step).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
+from probabilistic_rs_spark.functions.hashing import (
+    bloom_index_batch,
+    bloom_index_padded,
+    optimal_bit_vector_size,
+    optimal_num_hashes,
+)
+from probabilistic_rs_spark.sketches.base import TYPE_BLOOM, pack_header, unpack_header
+
+_META = struct.Struct("<qdqqqq")  # capacity, fpr, m, k, chunk_size, n_updates
+
+
+@dataclass(frozen=True)
+class BloomConfig:
+    """Mirrors reference ``BloomFilterConfig`` defaults
+    (``src/bloom/config.rs:10-14``) + chunk size
+    (``src/bloom/config.rs:25-26``)."""
+
+    capacity: int = 1_000_000
+    false_positive_rate: float = 0.01
+    chunk_size_bytes: int = 4096
+
+    def validate(self) -> None:
+        # Reference validation: src/bloom/config.rs:31-44
+        if self.capacity <= 0:
+            raise SketchConfigError("Capacity must be greater than 0")
+        if not (0.0 < self.false_positive_rate < 1.0):
+            raise SketchConfigError("False positive rate must be between 0 and 1")
+        if self.chunk_size_bytes <= 0:
+            raise SketchConfigError("Chunk size must be greater than 0")
+
+
+class BloomSketch:
+    """Word-packed Bloom filter state with vectorized bulk ops.
+
+    The batch kernels are the Spark analog of the reference's
+    batch-hash-then-single-lock bulk ops (``src/bloom/filter.rs:395-477``):
+    all indices for the whole Arrow batch are computed in one numpy
+    expression, then applied with one scatter / gather.
+    """
+
+    __slots__ = ("config", "m", "k", "bits", "n_updates", "dirty_chunks")
+
+    def __init__(self, config: BloomConfig | None = None):
+        config = config or BloomConfig()
+        config.validate()
+        self.config = config
+        self.m = optimal_bit_vector_size(config.capacity, config.false_positive_rate)
+        self.k = max(1, optimal_num_hashes(config.capacity, self.m))
+        self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+        self.n_updates = 0
+        self.dirty_chunks: set[int] = set()
+
+    # -- update ------------------------------------------------------------
+
+    def update_batch(self, items) -> None:
+        """Absorb a batch of byte strings (``insert_bulk`` analog,
+        ``src/bloom/filter.rs:395-438``)."""
+        if len(items) == 0:
+            return
+        self._apply_indices(bloom_index_batch(items, self.k, self.m), len(items))
+
+    def update_padded(self, buf: np.ndarray, lens: np.ndarray) -> None:
+        """Zero-copy Arrow path: absorb a pre-padded byte matrix
+        (see ``functions.hashing.pad_batch_arrow``)."""
+        if len(lens) == 0:
+            return
+        self._apply_indices(bloom_index_padded(buf, lens, self.k, self.m), len(lens))
+
+    def _apply_indices(self, idx: np.ndarray, n: int) -> None:
+        idx = idx.ravel()
+        byte_idx = idx >> 3
+        np.bitwise_or.at(self.bits, byte_idx, (1 << (idx & 7)).astype(np.uint8))
+        self.n_updates += n
+        cs = self.config.chunk_size_bytes
+        self.dirty_chunks.update(np.unique(byte_idx // cs).tolist())
+
+    # -- probe -------------------------------------------------------------
+
+    def contains_batch(self, items) -> np.ndarray:
+        """Vectorized membership (``contains_bulk`` analog,
+        ``src/bloom/filter.rs:440-477``); result aligned to input order."""
+        n = len(items)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        idx = bloom_index_batch(items, self.k, self.m)  # (n, k)
+        bitvals = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return bitvals.all(axis=1)
+
+    def contains_padded(self, buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        if len(lens) == 0:
+            return np.zeros(0, dtype=bool)
+        idx = bloom_index_padded(buf, lens, self.k, self.m)
+        bitvals = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return bitvals.all(axis=1)
+
+    def contains(self, item: bytes) -> bool:
+        return bool(self.contains_batch([item])[0])
+
+    # -- merge / clear -----------------------------------------------------
+
+    def merge(self, other: "BloomSketch") -> "BloomSketch":
+        """Bitwise-OR union; requires identical derived (m, k) — configs are
+        frozen at construction exactly as in the reference (persisted config
+        wins, ``src/bloom/filter.rs:103``)."""
+        if (self.m, self.k) != (other.m, other.k):
+            raise SketchStateError(
+                f"incompatible Bloom states: (m,k)=({self.m},{self.k}) vs "
+                f"({other.m},{other.k})"
+            )
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        self.n_updates += other.n_updates
+        self.dirty_chunks.update(other.dirty_chunks)
+        return self
+
+    def clear(self) -> None:
+        """Zero all bits, reset counter (``src/bloom/filter.rs:386-391``)."""
+        self.bits[:] = 0
+        self.n_updates = 0
+        self.dirty_chunks.clear()
+
+    # -- stats ---------------------------------------------------------------
+
+    @property
+    def insert_count(self) -> int:
+        return self.n_updates
+
+    def approx_memory_bits(self) -> int:
+        return len(self.bits) * 8
+
+    def bits_per_item(self) -> float:
+        return self.approx_memory_bits() / self.config.capacity
+
+    def fill_ratio(self) -> float:
+        return float(np.unpackbits(self.bits, bitorder="little").sum()) / self.m
+
+    # -- chunked state (checkpoint format) ----------------------------------
+
+    def extract_all_chunks(self) -> list[tuple[int, bytes]]:
+        """All (chunk_id, bytes) — ``src/bloom/filter.rs:197-219``. Bytes are
+        LSB-first-packed, same layout as the reference's chunk rows."""
+        cs = self.config.chunk_size_bytes
+        return [
+            (cid, self.bits[cid * cs : (cid + 1) * cs].tobytes())
+            for cid in range((len(self.bits) + cs - 1) // cs)
+        ]
+
+    def extract_dirty_chunks(self) -> list[tuple[int, bytes]]:
+        """Only chunks touched since the last snapshot
+        (``src/bloom/filter.rs:221-243``)."""
+        cs = self.config.chunk_size_bytes
+        return [
+            (cid, self.bits[cid * cs : (cid + 1) * cs].tobytes())
+            for cid in sorted(self.dirty_chunks)
+        ]
+
+    def clear_dirty(self) -> None:
+        self.dirty_chunks.clear()
+
+    def load_chunks(self, chunks: list[tuple[int, bytes]]) -> None:
+        """Inverse of extract — ``src/bloom/filter.rs:275-301``. Chunks are
+        applied sorted by id (reference sorts on load,
+        ``src/bloom/storage.rs:97``)."""
+        cs = self.config.chunk_size_bytes
+        for cid, blob in sorted(chunks):
+            arr = np.frombuffer(blob, dtype=np.uint8)
+            end = min(cid * cs + len(arr), len(self.bits))
+            self.bits[cid * cs : end] = arr[: end - cid * cs]
+
+    # -- serialization -------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        meta = _META.pack(
+            self.config.capacity,
+            self.config.false_positive_rate,
+            self.m,
+            self.k,
+            self.config.chunk_size_bytes,
+            self.n_updates,
+        )
+        return pack_header(TYPE_BLOOM) + meta + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomSketch":
+        _, off = unpack_header(data, TYPE_BLOOM)
+        capacity, fpr, m, k, cs, n_updates = _META.unpack_from(data, off)
+        sk = cls(BloomConfig(capacity, fpr, cs))
+        if (sk.m, sk.k) != (m, k):
+            raise SketchStateError("derived (m,k) mismatch on deserialize")
+        bits = np.frombuffer(data, dtype=np.uint8, offset=off + _META.size)
+        if len(bits) != len(sk.bits):
+            raise SketchStateError("bit vector length mismatch")
+        sk.bits = bits.copy()
+        sk.n_updates = n_updates
+        return sk
