@@ -1,38 +1,308 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries exercise the sketch library end-to-end on the driver's parquet
+tables. Two oracle styles:
+
+* **exact-match**: queries whose sketch output is deterministically exact
+  at sf=0.01 operating points (HLL sparse mode = distinct-hash count; CMS
+  at load ≪ width; Bloom zero-false-negative probes with FPR sized so the
+  expected false-positive count is ≪ 1 — verified deterministic locally).
+* **bound-verdict**: queries where approximation is inherent (dense HLL,
+  t-digest/KLL rank error, measured FPR gates). The Spark side computes
+  BOTH the estimate and the exact value and returns whether the published
+  bound holds; the oracle asserts the verdict is TRUE for every group.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
 
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one pass over lineitem absorbing rows into HLL + t-digest
+    + KLL + Bloom partial states per l_returnflag, merged, estimated."""
+    from probabilistic_rs_spark.operators.sketch_agg import (
+        SketchSpec,
+        sketch_aggregate,
+        with_hll_estimate,
+        with_quantiles,
+    )
+
+    li = _t(spark, "/root/testdata/sf0.001", "lineitem")
+    specs = [
+        SketchSpec("orders", "hll", "l_orderkey", {"p": 14}),
+        SketchSpec("price_td", "tdigest", "l_extendedprice", {"delta": 200.0}),
+        SketchSpec("price_kll", "kll", "l_extendedprice", {"k": 200}),
+        SketchSpec("okeys", "bloom", "l_orderkey", {"capacity": 100_000}),
+    ]
+    agg = sketch_aggregate(li, ["l_returnflag"], specs)
+    agg = with_hll_estimate(agg, "orders_state", "approx_distinct_orders")
+    agg = with_quantiles(agg, "price_td_state", "tdigest", [0.5, 0.99], "price_q")
+    return agg.select(
+        "l_returnflag",
+        "n_updates",
+        "approx_distinct_orders",
+        F.element_at("price_q", 1).alias("price_p50"),
+        F.element_at("price_q", 2).alias("price_p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_hll_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.distinct import approx_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return approx_distinct(ev, "user_id", ["event_type"], p=14, out_col="n_distinct_users").select(
+        "event_type", "n_distinct_users"
+    )
+
+
+def _q_hll_custkey_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.distinct import approx_distinct
+
+    orders = _t(spark, sf_dir, "orders")
+    return approx_distinct(orders, "o_custkey", [], p=14, out_col="n_distinct_custkey").select(
+        "n_distinct_custkey"
+    )
+
+
+def _q_hll_dense_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-mode HLL (sparse disabled) vs exact, 3-sigma bound verdict."""
+    from probabilistic_rs_spark.operators.distinct import approx_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = 12
+    est = approx_distinct(
+        li, "l_orderkey", ["l_returnflag"], p=p, sparse_threshold=0, out_col="est"
+    )
+    exact = li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("exact"))
+    bound = 3.0 * 1.04 / float(np.sqrt(1 << p))
+    return (
+        est.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            (F.abs(F.col("est") - F.col("exact")) <= F.lit(bound) * F.col("exact")).alias(
+                "within_bound"
+            ),
+        )
+    )
+
+
+def _q_cms_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.heavy_hitters import cms_heavy_hitters
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cms_heavy_hitters(
+        li, "l_partkey", eps=0.0001, delta=0.001, threshold=45
+    ).select("key", "est_count")
+
+
+def _q_cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.heavy_hitters import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "event_type", eps=0.001, delta=0.001, threshold=1).select(
+        "key", "est_count"
+    )
+
+
+def _q_salted_exact_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.heavy_hitters import salted_group_count
+
+    li = _t(spark, sf_dir, "lineitem")
+    return salted_group_count(li, "l_suppkey", n_salts=16).where(F.col("cnt") >= 650)
+
+
+def _q_bloom_members_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join: which probe keys are in orders.o_custkey. Probe set
+    = real customers (zero false negatives guaranteed) + shifted
+    never-present keys (FPR sized so expected FP ≈ 0.02 — deterministically
+    zero on this data, verified)."""
+    from probabilistic_rs_spark.operators.membership import (
+        bloom_probe,
+        build_bloom_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    n = orders.select("o_custkey").distinct().count()
+    state = build_bloom_state(
+        orders, "o_custkey", capacity=max(1000, 2 * n), false_positive_rate=0.00001
+    )
+    probes = customer.select(F.col("c_custkey").alias("custkey")).union(
+        customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
+    )
+    return (
+        bloom_probe(probes, "custkey", state)
+        .where(F.col("is_member"))
+        .select("custkey")
+        .distinct()
+    )
+
+
+def _q_bloom_fpr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's own accuracy gates, distributed: zero false
+    negatives (tests/core_bloom_filter_tests.rs:402-420) and measured FPR
+    <= 3x target at ~50% fill over 2000 probes (:461-467)."""
+    from probabilistic_rs_spark.operators.membership import (
+        bloom_probe,
+        build_bloom_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    target = 0.05
+    n = orders.select("o_orderkey").distinct().count()
+    state = build_bloom_state(
+        orders, "o_orderkey", capacity=2 * n, false_positive_rate=target
+    )
+    members = orders.select(F.col("o_orderkey").cast("string").alias("probe"))
+    fn_count = (
+        bloom_probe(members, "probe", state).where(~F.col("is_member")).count()
+    )
+    nonmembers = spark.range(2000).select(
+        F.concat(F.lit("never_inserted_"), F.col("id")).alias("probe")
+    )
+    fp_count = bloom_probe(nonmembers, "probe", state).where(F.col("is_member")).count()
+    fpr = fp_count / 2000.0
+    return spark.createDataFrame(
+        [(fn_count == 0, bool(fpr <= 3.0 * target))],
+        "no_false_negatives boolean, fpr_ok boolean",
+    )
+
+
+def _q_tdigest_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest quantiles of l_extendedprice; verdict = rank error <= 0.01."""
+    from probabilistic_rs_spark.operators.quantiles import approx_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = approx_quantiles(li, {"price": "l_extendedprice"}, qs, kind="tdigest", delta=200.0)
+    rows = {float(r["q"]): float(r["value"]) for r in est.collect()}
+    n_total = li.count()
+    aggs = [
+        (F.sum((F.col("l_extendedprice") <= F.lit(rows[q])).cast("long")) / F.lit(n_total)).alias(
+            f"r{i}"
+        )
+        for i, q in enumerate(qs)
+    ]
+    ranks = li.agg(*aggs).head()
+    data = [(q, bool(abs(float(ranks[f"r{i}"]) - q) <= 0.01)) for i, q in enumerate(qs)]
+    return spark.createDataFrame(data, "q double, within_bound boolean")
+
+
+def _q_kll_shipdays_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantiles of days(l_shipdate since 1992-01-01); rank err <= 0.02."""
+    from probabilistic_rs_spark.operators.quantiles import approx_quantiles
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_days", F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01")).cast("double")
+    )
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = approx_quantiles(li, {"ship_days": "ship_days"}, qs, kind="kll", k=200)
+    rows = {float(r["q"]): float(r["value"]) for r in est.collect()}
+    n_total = li.count()
+    aggs = [
+        (F.sum((F.col("ship_days") <= F.lit(rows[q])).cast("long")) / F.lit(n_total)).alias(f"r{i}")
+        for i, q in enumerate(qs)
+    ]
+    ranks = li.agg(*aggs).head()
+    data = [(q, bool(abs(float(ranks[f"r{i}"]) - q) <= 0.02)) for i, q in enumerate(qs)]
+    return spark.createDataFrame(data, "q double, within_bound boolean")
+
+
+def _q_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expiring-Bloom semantics over event-time buckets: users present in
+    the 3 most recent 7-day windows (per-level AND, cross-level OR probe —
+    reference src/ebloom/filter.rs:602-638)."""
+    from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+    from probabilistic_rs_spark.operators.windowed_bloom import probe_recent
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket",
+        F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / F.lit(7)).cast("long"),
+    )
+    spec = SketchSpec("bloom", "bloom", "user_id", {"capacity": 100_000, "false_positive_rate": 0.0001})
+    states = sketch_aggregate(ev, ["bucket"], [spec])
+    recent = states.orderBy(F.desc("bucket")).limit(3).collect()
+    levels = [(r["bucket"], r["bucket"], bytes(r["bloom_state"])) for r in recent]
+    users = ev.select("user_id").distinct()
+    return probe_recent(users, "user_id", levels).where(F.col("is_member")).select("user_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hll_distinct_users_by_event_type": _q_hll_users_by_event_type,
+        "hll_distinct_custkey_global": _q_hll_custkey_global,
+        "hll_dense_bound_orderkey_by_flag": _q_hll_dense_bound,
+        "cms_heavy_parts": _q_cms_heavy_parts,
+        "cms_event_type_counts": _q_cms_event_type_counts,
+        "salted_exact_supplier_counts": _q_salted_exact_supplier_counts,
+        "bloom_members_custkey": _q_bloom_members_custkey,
+        "bloom_fpr_gate": _q_bloom_fpr_gate,
+        "tdigest_price_quantile_bounds": _q_tdigest_price_bounds,
+        "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
+        "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hll_distinct_users_by_event_type": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "hll_distinct_custkey_global": (
+            "SELECT count(DISTINCT o_custkey)::BIGINT AS n_distinct_custkey FROM orders"
+        ),
+        "hll_dense_bound_orderkey_by_flag": (
+            "SELECT DISTINCT l_returnflag, TRUE AS within_bound FROM lineitem"
+        ),
+        "cms_heavy_parts": (
+            "SELECT CAST(l_partkey AS VARCHAR) AS key, count(*)::BIGINT AS est_count "
+            "FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45"
+        ),
+        "cms_event_type_counts": (
+            "SELECT event_type AS key, count(*)::BIGINT AS est_count "
+            "FROM events GROUP BY event_type"
+        ),
+        "salted_exact_supplier_counts": (
+            "SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*)::BIGINT AS cnt "
+            "FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 650"
+        ),
+        "bloom_members_custkey": (
+            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "bloom_fpr_gate": (
+            "SELECT TRUE AS no_false_negatives, TRUE AS fpr_ok"
+        ),
+        "tdigest_price_quantile_bounds": (
+            "SELECT CAST(q AS DOUBLE) AS q, within_bound FROM (VALUES (0.01, TRUE), "
+            "(0.25, TRUE), (0.5, TRUE), (0.75, TRUE), (0.99, TRUE)) AS t(q, within_bound)"
+        ),
+        "kll_shipdays_quantile_bounds": (
+            "SELECT CAST(q AS DOUBLE) AS q, within_bound FROM (VALUES (0.01, TRUE), "
+            "(0.25, TRUE), (0.5, TRUE), (0.75, TRUE), (0.99, TRUE)) AS t(q, within_bound)"
+        ),
+        "windowed_bloom_recent_users": (
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) >= "
+            "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "
+            "FROM events)"
+        ),
+    }

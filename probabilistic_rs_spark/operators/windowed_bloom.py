@@ -1,0 +1,106 @@
+"""Event-time windowed Bloom — the Spark analog of the reference's
+time-decaying (expiring) multi-level Bloom filter.
+
+Reference semantics (``src/ebloom/filter.rs``, SURVEY.md §2.4): N
+equal-size Bloom levels; inserts go to the *current* level; a query
+returns true if all k bits are set **in any single level** (per-level
+AND, cross-level OR — ``src/ebloom/filter.rs:602-638``); levels rotate on
+a processing-time clock and expired data vanishes.
+
+Spark restatement (SURVEY.md §2.10): one Bloom state per event-time
+tumbling window of ``level_duration`` — ``groupBy(window(ts, D))``.
+Rotation, level zeroing, and on-disk deletion all disappear into window
+semantics; "expiry" = restricting probes to the ``num_levels`` most
+recent windows. Event time is a deliberate improvement over the
+reference's processing-time rotation (reference inserts carry no
+timestamps, so late data is mis-filed into the current level —
+``SURVEY.md §2.10`` documents the divergence).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+from probabilistic_rs_spark.errors import SketchConfigError
+from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+from probabilistic_rs_spark.sketches.bloom import BloomSketch
+
+
+def windowed_bloom_states(
+    df: DataFrame,
+    ts_col: str,
+    item_col: str,
+    level_duration: str = "1 hour",
+    capacity_per_level: int = 1_000_000,
+    target_fpr: float = 0.01,
+) -> DataFrame:
+    """One Bloom state per tumbling event-time window.
+
+    Returns (window_start, window_end, bloom_state, n_updates). Config
+    defaults mirror the reference (capacity_per_level 1M, fpr 0.01,
+    level_duration 1h — ``src/ebloom/config.rs:16-29``).
+    """
+    spec = SketchSpec(
+        "bloom",
+        "bloom",
+        item_col,
+        {"capacity": capacity_per_level, "false_positive_rate": target_fpr},
+    )
+    windowed = df.withColumn("__w", F.window(F.col(ts_col), level_duration)).withColumn(
+        "window_start", F.col("__w.start")
+    ).withColumn("window_end", F.col("__w.end"))
+    states = sketch_aggregate(windowed, ["window_start", "window_end"], [spec])
+    return states.select("window_start", "window_end", "bloom_state", "n_updates")
+
+
+def recent_level_states(
+    states_df: DataFrame,
+    num_levels: int = 3,
+    as_of=None,
+) -> list[tuple]:
+    """The ``num_levels`` most recent windows at/before ``as_of`` — the
+    batch analog of the reference's active level set (levels beyond
+    ``num_levels`` are 'expired', ``src/ebloom/filter.rs:249-266``).
+    Collects only tiny (ts, state) rows to the driver."""
+    if not (0 < num_levels <= 255):
+        # reference cap: levels must fit one byte (src/ebloom/config.rs:53-57)
+        raise SketchConfigError("num_levels must be in 1..=255")
+    cur = states_df
+    if as_of is not None:
+        cur = cur.where(F.col("window_start") <= F.lit(as_of))
+    rows = cur.orderBy(F.desc("window_start")).limit(num_levels).collect()
+    return [(r["window_start"], r["window_end"], bytes(r["bloom_state"])) for r in rows]
+
+
+def probe_recent(
+    probe_df: DataFrame,
+    item_col: str,
+    level_states: list[tuple],
+    out_col: str = "is_member",
+) -> DataFrame:
+    """Membership over the active level set: per-level AND, cross-level OR
+    — exactly the reference's ``contains`` (``src/ebloom/filter.rs:602-638``),
+    vectorized over a whole Arrow batch and all levels."""
+    sc = probe_df.sparkSession.sparkContext
+    bc = sc.broadcast([blob for _, _, blob in level_states])
+
+    @pandas_udf(BooleanType())
+    def probe(items: pd.Series) -> pd.Series:
+        from probabilistic_rs_spark.functions.hashing import _pad_batch
+
+        levels = [BloomSketch.from_bytes(b) for b in bc.value]
+        vals = items.astype(str).str.encode("utf-8").to_numpy()
+        buf, lens = _pad_batch(vals)
+        res = np.zeros(len(vals), dtype=bool)
+        for lv in levels:
+            res |= lv.contains_padded(buf, lens)
+        return pd.Series(res)
+
+    return probe_df.withColumn(out_col, probe(F.col(item_col).cast("string")))
