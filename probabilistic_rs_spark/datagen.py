@@ -1,0 +1,179 @@
+"""Deterministic synthetic Common-Crawl-style ``pages`` table (FIXTURES.md §1).
+
+Schema per BASELINE.json ``input_hint``:
+``(url string, warc_ts timestamp, html binary, text string, lang string)``.
+
+Every column is a pure function of the row id ``i`` and the seed — never of
+wall clock, RNG state, partitioning, or row order — so:
+
+* regenerating at any scale/parallelism yields byte-identical ``text`` for
+  a given ``url`` (the per-row invariant: ``sha256(text)`` stable per url);
+* ~5% of rows duplicate an earlier row's url (and therefore its text), so
+  distinct-count ≠ row-count and Bloom/HLL have real work;
+* hostnames are drawn with a ~1/rank (Zipfian) skew — the heavy-hitter
+  fixture the salted/CMS paths need.
+
+Generation is vectorized numpy inside ``mapInArrow`` over ``spark.range``:
+no per-row Python in the driver or executors beyond the final string join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from probabilistic_rs_spark.functions.hashing import splitmix64
+
+U64 = np.uint64
+
+WORDS = np.array(
+    [
+        "aurora", "breeze", "cobalt", "dune", "ember", "fjord", "glade",
+        "harbor", "isle", "juniper", "karst", "lyric", "meadow", "nectar",
+        "orchid", "prism", "quartz", "ripple", "summit", "thistle",
+        "umbra", "vessel", "willow", "xenon", "yonder", "zephyr",
+        "anchor", "basalt", "cinder", "delta", "echo", "flint",
+    ]
+)
+TLDS = np.array(["com", "org", "net", "io", "dev"])
+LANGS = np.array(["en", "de", "fr", "es", "ru", "zh", "ja", "other"])
+LANG_CUM = np.cumsum(np.array([0.55, 0.10, 0.08, 0.08, 0.06, 0.05, 0.04, 0.04]))
+
+EPOCH_2025_06_01 = 1748736000  # 2025-06-01T00:00:00Z
+PRIME_STEP = 1_300_027
+SPAN_SECONDS = 30 * 86400
+
+
+def _h(ids: np.ndarray, salt: int) -> np.ndarray:
+    k = (salt * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    with np.errstate(over="ignore"):
+        return splitmix64(ids.astype(U64) + U64(k))
+
+
+def _uniform(ids: np.ndarray, salt: int) -> np.ndarray:
+    return (_h(ids, salt) >> U64(11)).astype(np.float64) / float(1 << 53)
+
+
+def gen_batch(ids: np.ndarray, seed: int = 42, n_hosts: int = 10_000) -> dict:
+    """Generate all page columns for a batch of row ids. Pure function."""
+    ids = ids.astype(np.int64)
+    n = len(ids)
+    # 5% duplicates: every 20th row re-emits the url (and text) of row i//2
+    uid = np.where(ids % 20 == 19, ids // 2, ids)
+
+    # Zipf-ish host rank via inverse CDF of 1/k: k = exp(u * ln N)
+    u = _uniform(uid, seed + 1)
+    host_rank = np.minimum(
+        n_hosts, np.maximum(1, np.exp(u * np.log(n_hosts)).astype(np.int64))
+    )
+    tld = TLDS[(_h(uid, seed + 2) % U64(len(TLDS))).astype(np.int64)]
+    w1 = WORDS[(_h(uid, seed + 3) % U64(len(WORDS))).astype(np.int64)]
+    w2 = WORDS[(_h(uid, seed + 4) % U64(len(WORDS))).astype(np.int64)]
+
+    hosts = np.char.add(
+        np.char.add("site", np.char.zfill(host_rank.astype("U6"), 6)),
+        np.char.add(".example.", tld.astype("U4")),
+    )
+    urls = np.array(
+        [
+            f"https://{h}/{a}/{b}?id={int(v):010d}"
+            for h, a, b, v in zip(hosts, w1, w2, uid)
+        ],
+        dtype=object,
+    )
+
+    # timestamps: deterministic spread over a 30-day window
+    ts_sec = EPOCH_2025_06_01 + (uid * PRIME_STEP) % SPAN_SECONDS
+    warc_ts = ts_sec.astype("datetime64[s]").astype("datetime64[us]")
+
+    # lang from hash of uid (≡ hash of url)
+    lu = _uniform(uid, seed + 5)
+    lang = LANGS[np.searchsorted(LANG_CUM, lu, side="right").clip(0, len(LANGS) - 1)]
+
+    # text: word count log-normal, median ~64 words, capped (sandbox cap of
+    # the FIXTURES.md 100KB tail)
+    g = _uniform(uid, seed + 6)
+    z = np.sqrt(2.0) * _erfinv(2.0 * g - 1.0)
+    n_words = np.clip(np.exp(np.log(64) + 0.9 * z), 4, 2048).astype(np.int64)
+
+    total = int(n_words.sum())
+    row_of = np.repeat(np.arange(n), n_words)
+    starts = np.concatenate([[0], np.cumsum(n_words)[:-1]])
+    pos = np.arange(total) - np.repeat(starts, n_words)
+    with np.errstate(over="ignore"):
+        whash = splitmix64(
+            np.repeat(uid, n_words).astype(U64) * U64(0x100000001B3)
+            + pos.astype(U64)
+            + U64(seed)
+        )
+    widx = (whash % U64(len(WORDS))).astype(np.int64)
+    flat = WORDS[widx]
+    texts = np.empty(n, dtype=object)
+    acc = 0
+    word_list = flat.tolist()
+    for r in range(n):
+        c = int(n_words[r])
+        texts[r] = " ".join(word_list[acc : acc + c])
+        acc += c
+
+    # html: wrapper around text; ~1% null (missing fetch)
+    null_mask = (_h(uid, seed + 7) % U64(100)) == 0
+    htmls = np.empty(n, dtype=object)
+    for r in range(n):
+        if null_mask[r]:
+            htmls[r] = None
+        else:
+            htmls[r] = (
+                f"<html><head><title>{word_list[int(starts[r])]}</title></head>"
+                f"<body>{texts[r]}</body></html>"
+            ).encode()
+
+    return {
+        "url": urls,
+        "warc_ts": warc_ts,
+        "html": htmls,
+        "text": texts,
+        "lang": lang.astype(object),
+    }
+
+
+def _erfinv(x: np.ndarray) -> np.ndarray:
+    """Vectorized inverse error function (Winitzki approximation) — good to
+    ~1e-3, plenty for a synthetic length distribution."""
+    a = 0.147
+    ln1mx2 = np.log(np.clip(1.0 - x * x, 1e-300, None))
+    t1 = 2.0 / (np.pi * a) + ln1mx2 / 2.0
+    return np.sign(x) * np.sqrt(np.sqrt(t1 * t1 - ln1mx2 / a) - t1)
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp_ntz, html binary, text string, lang string"
+
+
+def pages_df(spark, n_rows: int, seed: int = 42, n_hosts: int = 10_000, partitions: int | None = None):
+    """Distributed deterministic pages table: ``spark.range`` → vectorized
+    ``mapInArrow`` generation. Content depends only on (row id, seed)."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import _parse_datatype_string
+
+    schema = _parse_datatype_string(PAGES_SCHEMA)
+    arrow_schema = to_arrow_schema(schema)
+    seed_, hosts_ = seed, n_hosts
+
+    def gen(batches):
+        for batch in batches:
+            ids = batch.column("id").to_numpy()
+            cols = gen_batch(ids, seed=seed_, n_hosts=hosts_)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["url"], type=pa.string()),
+                    pa.array(cols["warc_ts"], type=arrow_schema.field(1).type),
+                    pa.array(cols["html"], type=pa.binary()),
+                    pa.array(cols["text"], type=pa.string()),
+                    pa.array(cols["lang"], type=pa.string()),
+                ],
+                schema=arrow_schema,
+            )
+
+    rng = spark.range(0, n_rows, numPartitions=partitions) if partitions else spark.range(n_rows)
+    return rng.mapInArrow(gen, schema)

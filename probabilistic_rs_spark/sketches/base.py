@@ -27,6 +27,15 @@ def pack_header(sketch_type: int, version: int = 1) -> bytes:
     return _HEADER.pack(MAGIC, sketch_type, version)
 
 
+def unpack_meta(meta_struct: struct.Struct, data: bytes, off: int):
+    """Unpack a meta struct, mapping truncation to SketchStateError
+    (reference: BloomError::SerializationError on corrupt input)."""
+    try:
+        return meta_struct.unpack_from(data, off)
+    except struct.error as e:
+        raise SketchStateError(f"corrupt sketch state: {e}") from e
+
+
 def unpack_header(data: bytes, expect_type: int) -> tuple[int, int]:
     """Returns (version, payload_offset); raises on mismatch."""
     if len(data) < _HEADER.size:

@@ -34,7 +34,7 @@ from probabilistic_rs_spark.functions.hashing import (
     optimal_bit_vector_size,
     optimal_num_hashes,
 )
-from probabilistic_rs_spark.sketches.base import TYPE_BLOOM, pack_header, unpack_header
+from probabilistic_rs_spark.sketches.base import TYPE_BLOOM, pack_header, unpack_header, unpack_meta
 
 _META = struct.Struct("<qdqqqq")  # capacity, fpr, m, k, chunk_size, n_updates
 
@@ -212,7 +212,7 @@ class BloomSketch:
     @classmethod
     def from_bytes(cls, data: bytes) -> "BloomSketch":
         _, off = unpack_header(data, TYPE_BLOOM)
-        capacity, fpr, m, k, cs, n_updates = _META.unpack_from(data, off)
+        capacity, fpr, m, k, cs, n_updates = unpack_meta(_META, data, off)
         sk = cls(BloomConfig(capacity, fpr, cs))
         if (sk.m, sk.k) != (m, k):
             raise SketchStateError("derived (m,k) mismatch on deserialize")

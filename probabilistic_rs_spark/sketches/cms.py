@@ -22,7 +22,7 @@ import struct
 import numpy as np
 
 from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
-from probabilistic_rs_spark.sketches.base import TYPE_CMS, pack_header, unpack_header
+from probabilistic_rs_spark.sketches.base import TYPE_CMS, pack_header, unpack_header, unpack_meta
 
 U64 = np.uint64
 
@@ -100,7 +100,7 @@ class CountMinSketch:
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountMinSketch":
         _, off = unpack_header(data, TYPE_CMS)
-        eps, delta, d, w, n_total = _META.unpack_from(data, off)
+        eps, delta, d, w, n_total = unpack_meta(_META, data, off)
         sk = cls(eps=eps, delta=delta)
         if (sk.d, sk.w) != (d, w):
             raise SketchStateError("CMS derived shape mismatch on deserialize")

@@ -24,7 +24,7 @@ import struct
 import numpy as np
 
 from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
-from probabilistic_rs_spark.sketches.base import TYPE_HLL, pack_header, unpack_header
+from probabilistic_rs_spark.sketches.base import TYPE_HLL, pack_header, unpack_header, unpack_meta
 
 U64 = np.uint64
 
@@ -162,7 +162,7 @@ class HyperLogLog:
     @classmethod
     def from_bytes(cls, data: bytes) -> "HyperLogLog":
         _, off = unpack_header(data, TYPE_HLL)
-        p, mode, thresh, n_updates = _META.unpack_from(data, off)
+        p, mode, thresh, n_updates = unpack_meta(_META, data, off)
         sk = cls(p=p, sparse_threshold=thresh)
         sk.n_updates = n_updates
         body = data[off + _META.size :]

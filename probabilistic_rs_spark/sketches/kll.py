@@ -22,7 +22,7 @@ import struct
 import numpy as np
 
 from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
-from probabilistic_rs_spark.sketches.base import TYPE_KLL, pack_header, unpack_header
+from probabilistic_rs_spark.sketches.base import TYPE_KLL, pack_header, unpack_header, unpack_meta
 
 _C = 2.0 / 3.0
 
@@ -152,7 +152,7 @@ class KLLSketch:
     @classmethod
     def from_bytes(cls, data: bytes) -> "KLLSketch":
         _, off = unpack_header(data, TYPE_KLL)
-        k, n, counter, n_levels = _META.unpack_from(data, off)
+        k, n, counter, n_levels = unpack_meta(_META, data, off)
         off += _META.size
         lens = struct.unpack_from(f"<{n_levels}q", data, off)
         off += 8 * n_levels

@@ -25,7 +25,7 @@ import struct
 import numpy as np
 
 from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
-from probabilistic_rs_spark.sketches.base import TYPE_TDIGEST, pack_header, unpack_header
+from probabilistic_rs_spark.sketches.base import TYPE_TDIGEST, pack_header, unpack_header, unpack_meta
 
 # delta, min, max, total_weight, n_centroids
 _META = struct.Struct("<ddddq")
@@ -141,7 +141,7 @@ class TDigest:
     @classmethod
     def from_bytes(cls, data: bytes) -> "TDigest":
         _, off = unpack_header(data, TYPE_TDIGEST)
-        delta, vmin, vmax, total_w, n = _META.unpack_from(data, off)
+        delta, vmin, vmax, total_w, n = unpack_meta(_META, data, off)
         sk = cls(delta=delta)
         sk.vmin = vmin
         sk.vmax = vmax

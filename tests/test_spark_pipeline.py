@@ -1,0 +1,208 @@
+"""Layer 4 (SURVEY.md §5): Spark integration on local[*] — sketch results
+vs exact oracles computed with Spark built-ins, on both the driver test
+tables and the deterministic synthetic pages table. Covers the four
+north-star queries (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from probabilistic_rs_spark.datagen import pages_df
+from probabilistic_rs_spark.operators.distinct import approx_distinct
+from probabilistic_rs_spark.operators.heavy_hitters import (
+    cms_heavy_hitters,
+    salted_group_count,
+)
+from probabilistic_rs_spark.operators.membership import (
+    bloom_probe,
+    bloom_semi_filter,
+    build_bloom_state,
+)
+from probabilistic_rs_spark.operators.quantiles import approx_quantiles
+from probabilistic_rs_spark.operators.sketch_agg import (
+    SketchSpec,
+    sketch_aggregate,
+    with_hll_estimate,
+)
+from probabilistic_rs_spark.operators.windowed_bloom import (
+    probe_recent,
+    recent_level_states,
+    windowed_bloom_states,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = pages_df(spark, 20_000, partitions=8).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+# --- north-star query 1: distinct urls per (lang, day) ----------------------
+
+def test_hll_distinct_urls_per_lang_day(spark, pages):
+    df = pages.withColumn("day", F.to_date("warc_ts"))
+    est = approx_distinct(df, "url", ["lang", "day"], p=12, out_col="est")
+    exact = df.groupBy("lang", "day").agg(F.countDistinct("url").alias("exact"))
+    joined = est.join(exact, ["lang", "day"]).collect()
+    assert len(joined) > 50
+    for r in joined:
+        # sparse-mode exactness at this scale
+        assert r["est"] == r["exact"], (r["lang"], r["day"])
+
+
+def test_hll_dense_bound_on_pages(spark, pages):
+    est_row = approx_distinct(pages, "url", [], p=12, sparse_threshold=0, out_col="est").head()
+    exact = pages.select("url").distinct().count()
+    assert abs(est_row["est"] - exact) <= 3 * 1.04 / np.sqrt(4096) * exact
+
+
+# --- north-star query 2: heavy-hitter hostnames ------------------------------
+
+def test_cms_heavy_hitter_hostnames(spark, pages):
+    df = pages.withColumn(
+        "host", F.regexp_extract("url", r"https://([^/]+)/", 1)
+    )
+    exact = {
+        r["host"]: r["cnt"]
+        for r in df.groupBy("host").count().withColumnRenamed("count", "cnt").collect()
+    }
+    hh = cms_heavy_hitters(df, "host", eps=0.0001, delta=0.001, top_k=10)
+    rows = hh.collect()
+    assert len(rows) == 10
+    exact_top = sorted(exact.values(), reverse=True)[:10]
+    got_counts = sorted((r["est_count"] for r in rows), reverse=True)
+    # CMS at load ≪ w is exact; top-10 multiset must match exactly
+    assert got_counts == exact_top
+    for r in rows:
+        assert r["est_count"] == exact[r["key"]]
+
+
+def test_salted_exact_counts_match_plain_groupby(spark, pages):
+    df = pages.withColumn("host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+    salted = {r["key"]: r["cnt"] for r in salted_group_count(df, "host", 8).collect()}
+    plain = {r["host"]: r["count"] for r in df.groupBy("host").count().collect()}
+    assert salted == plain
+
+
+# --- north-star query 3: quantiles of length(text) and warc_ts ---------------
+
+@pytest.mark.parametrize("kind,params", [("tdigest", {"delta": 200.0}), ("kll", {"k": 200})])
+def test_quantiles_text_length_and_ts(spark, pages, kind, params):
+    df = pages.select(
+        F.length("text").cast("double").alias("text_len"),
+        F.unix_timestamp("warc_ts").cast("double").alias("ts_sec"),
+    ).cache()
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    est = approx_quantiles(
+        df, {"text_len": "text_len", "ts_sec": "ts_sec"}, qs, kind=kind, **params
+    )
+    rows = {(r["metric"], r["q"]): r["value"] for r in est.collect()}
+    n = df.count()
+    for metric in ("text_len", "ts_sec"):
+        vals = np.sort(np.array([x[0] for x in df.select(metric).collect()]))
+        for q in qs:
+            got = rows[(metric, q)]
+            rank = np.searchsorted(vals, got, side="right") / n
+            assert abs(rank - q) <= 0.015, (kind, metric, q, rank)
+    df.unpersist()
+
+
+# --- north-star query 4: membership -----------------------------------------
+
+def test_bloom_membership_semi_join(spark, pages):
+    state = build_bloom_state(pages, "url", capacity=50_000, false_positive_rate=0.001)
+    members = pages.select("url").distinct()
+    probed = bloom_probe(members, "url", state)
+    assert probed.where(~F.col("is_member")).count() == 0  # zero FN
+    fresh = spark.range(5_000).select(
+        F.concat(F.lit("https://never-seen.example.com/x?id="), F.col("id")).alias("url")
+    )
+    fpr = bloom_probe(fresh, "url", state).where("is_member").count() / 5_000
+    assert fpr <= 3 * 0.001
+
+
+def test_bloom_semi_filter_prunes(spark, pages):
+    state = build_bloom_state(pages, "url", capacity=50_000, false_positive_rate=0.001)
+    mixed = pages.select("url").union(
+        spark.range(10_000).select(F.concat(F.lit("nope_"), F.col("id")).alias("url"))
+    )
+    kept = bloom_semi_filter(mixed, "url", state)
+    assert kept.count() <= pages.count() + 30  # all members + ≤FPR stragglers
+    assert kept.count() >= pages.count()
+
+
+# --- multi-sketch single pass + parallelism invariance -----------------------
+
+def test_multi_sketch_single_pass_and_parallelism_invariance(spark, pages):
+    # sparse_threshold > per-group distinct count → sparse-exact estimates
+    specs = [
+        SketchSpec("urls", "hll", "url", {"p": 12, "sparse_threshold": 25_000}),
+        SketchSpec("tl", "tdigest", "text_len", {"delta": 100.0}),
+        SketchSpec("member", "bloom", "url", {"capacity": 50_000}),
+    ]
+    df = pages.withColumn("text_len", F.length("text"))
+    out_a = sketch_aggregate(df.repartition(4), ["lang"], specs)
+    out_b = sketch_aggregate(df.repartition(4), ["lang"], specs)
+    rows_a = {r["lang"]: bytes(r["urls_state"]) for r in out_a.collect()}
+    rows_b = {r["lang"]: bytes(r["urls_state"]) for r in out_b.collect()}
+    # same partitioning → bit-identical HLL states
+    diffs = [k for k in rows_a if rows_a[k] != rows_b[k]]
+    if diffs:
+        from probabilistic_rs_spark.sketches.hll import HyperLogLog
+
+        msgs = []
+        for k in diffs[:3]:
+            ha = HyperLogLog.from_bytes(rows_a[k])
+            hb = HyperLogLog.from_bytes(rows_b[k])
+            msgs.append(
+                f"{k}: mode {ha.mode}/{hb.mode} est {ha.estimate()}/{hb.estimate()} "
+                f"n_upd {ha.n_updates}/{hb.n_updates} sparse {len(ha.sparse)}/{len(hb.sparse)}"
+            )
+        raise AssertionError("state mismatch: " + "; ".join(msgs))
+    est = with_hll_estimate(out_a, "urls_state", "n_urls")
+    exact = {
+        r["lang"]: r["x"]
+        for r in df.groupBy("lang").agg(F.countDistinct("url").alias("x")).collect()
+    }
+    for r in est.collect():
+        assert r["n_urls"] == exact[r["lang"]]
+
+
+def test_merge_order_invariance_across_partitionings(spark, pages):
+    """HLL/Bloom/CMS estimates must be identical whatever the partitioning
+    (merge is assoc+comm, and register/bit states are order-free)."""
+    est4 = approx_distinct(pages.repartition(4), "url", [], p=12).head()[0]
+    est16 = approx_distinct(pages.repartition(16), "url", [], p=12).head()[0]
+    assert est4 == est16
+
+
+# --- windowed (expiring) bloom -----------------------------------------------
+
+def test_windowed_bloom_expiry_semantics(spark, pages):
+    states = windowed_bloom_states(
+        pages, "warc_ts", "url", "7 days", capacity_per_level=20_000, target_fpr=0.001
+    ).cache()
+    n_windows = states.count()
+    assert n_windows >= 4  # 30-day span / 7-day levels
+    levels = recent_level_states(states, num_levels=2)
+    assert len(levels) == 2
+    lo = min(ws for ws, _, _ in levels)
+    recent_urls = pages.where(F.col("warc_ts") >= F.lit(lo)).select("url").distinct()
+    old_urls = (
+        pages.where(F.col("warc_ts") < F.lit(lo))
+        .select("url")
+        .distinct()
+        .join(recent_urls, "url", "left_anti")
+    )
+    # zero false negatives within active levels
+    pr = probe_recent(recent_urls, "url", levels)
+    assert pr.where(~F.col("is_member")).count() == 0
+    # expired-window urls mostly absent (bounded by FPR)
+    n_old = old_urls.count()
+    fp = probe_recent(old_urls, "url", levels).where("is_member").count()
+    assert fp <= max(3, 3 * 0.001 * n_old)
+    states.unpersist()
