@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline sketch queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two input families:
+
+* the driver's TPC-H-ish parquet tables (lineitem/orders/events) — the
+  oracle-gated query surface;
+* a deterministic Common-Crawl-style ``pages`` table (BASELINE.json
+  ``input_hint`` schema), generated once per sf into a /tmp parquet cache
+  (generation is NOT timed; reads are, so scans/pruning are realistic).
+
+The north-star metric is sketch-updates/sec: rows absorbed into
+HLL+CMS+t-digest+KLL+Bloom states. We report total wall seconds as the
+required ``value`` and add ``rows_per_sec`` per query as extra keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# pages rows: sf 0.1 -> 1M (mirrors lineitem ~600k at sf0.1, with text payload)
+_sf_name = os.path.basename(SF_DIR.rstrip("/"))
+try:
+    SF = float(_sf_name.replace("sf", ""))
+except ValueError:
+    SF = 0.1
+PAGES_ROWS = max(10_000, int(SF * 10_000_000))
+PAGES_PATH = os.environ.get(
+    "SPARK_GRAFT_PAGES", f"/tmp/prs_pages_sf{SF}_{PAGES_ROWS}.parquet"
+)
+
+
+def get_spark(cpus: int = CPUS):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"probabilistic-rs-spark-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def ensure_pages(spark) -> None:
+    if os.path.exists(os.path.join(PAGES_PATH, "_SUCCESS")):
+        return
+    from probabilistic_rs_spark.datagen import pages_df
+
+    pages_df(spark, PAGES_ROWS, partitions=CPUS * 4).write.mode("overwrite").parquet(
+        PAGES_PATH
+    )
+
+
+# ---------------------------------------------------------------------------
+# headline queries — each returns (n_rows_absorbed, result_rows)
+# ---------------------------------------------------------------------------
+
+def q_pages_hll_lang_day(spark):
+    """North-star #1: distinct urls per (lang, day) via HLL."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.sketch_agg import (
+        SketchSpec,
+        sketch_aggregate,
+        with_hll_estimate,
+    )
+
+    pages = spark.read.parquet(PAGES_PATH).select(
+        "lang", F.to_date("warc_ts").alias("day"), "url"
+    )
+    agg = sketch_aggregate(pages, ["lang", "day"], [SketchSpec("u", "hll", "url", {"p": 14})])
+    out = with_hll_estimate(agg, "u_state", "n_urls").select("lang", "day", "n_urls")
+    rows = out.count()
+    return PAGES_ROWS, rows
+
+
+def q_pages_heavy_hosts(spark):
+    """North-star #2: heavy-hitter hostnames, salted CMS."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.heavy_hitters import cms_heavy_hitters
+
+    pages = spark.read.parquet(PAGES_PATH).select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+    )
+    out = cms_heavy_hitters(
+        pages, "host", eps=0.0001, delta=0.001, threshold=int(PAGES_ROWS * 0.002)
+    )
+    return PAGES_ROWS, out.count()
+
+
+def q_pages_quantiles(spark):
+    """North-star #3: t-digest+KLL quantiles of length(text) and warc_ts."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.sketch_agg import (
+        SketchSpec,
+        sketch_aggregate,
+        with_quantiles,
+    )
+
+    pages = spark.read.parquet(PAGES_PATH).select(
+        F.length("text").cast("double").alias("text_len"),
+        F.unix_micros(F.col("warc_ts").cast("timestamp")).cast("double").alias("ts_us"),
+    )
+    specs = [
+        SketchSpec("len_td", "tdigest", "text_len", {"delta": 200.0}),
+        SketchSpec("len_kll", "kll", "text_len", {"k": 200}),
+        SketchSpec("ts_td", "tdigest", "ts_us", {"delta": 200.0}),
+        SketchSpec("ts_kll", "kll", "ts_us", {"k": 200}),
+    ]
+    agg = sketch_aggregate(pages, [], specs, tree_fanin=16)
+    agg = with_quantiles(agg, "len_td_state", "tdigest", [0.01, 0.5, 0.99], "len_q")
+    agg = with_quantiles(agg, "ts_kll_state", "kll", [0.01, 0.5, 0.99], "ts_q")
+    return 2 * PAGES_ROWS, agg.select("len_q", "ts_q").count()
+
+
+def q_pages_bloom_membership(spark):
+    """North-star #4: Bloom build over urls + membership probe."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.membership import (
+        bloom_probe,
+        build_bloom_state,
+    )
+
+    pages = spark.read.parquet(PAGES_PATH)
+    state = build_bloom_state(
+        pages, "url", capacity=2 * PAGES_ROWS, false_positive_rate=0.01
+    )
+    probes = pages.select("url").limit(200_000)
+    hits = bloom_probe(probes, "url", state).where(F.col("is_member")).count()
+    return PAGES_ROWS, hits
+
+
+def q_lineitem_flagship(spark):
+    """Multi-sketch single pass over lineitem grouped by returnflag."""
+    from probabilistic_rs_spark.operators.sketch_agg import (
+        SketchSpec,
+        sketch_aggregate,
+        with_hll_estimate,
+    )
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n = li.count()
+    specs = [
+        SketchSpec("orders", "hll", "l_orderkey", {"p": 14}),
+        SketchSpec("price_td", "tdigest", "l_extendedprice", {"delta": 200.0}),
+        SketchSpec("price_kll", "kll", "l_extendedprice", {"k": 200}),
+        SketchSpec("okeys", "bloom", "l_orderkey", {"capacity": 2_000_000}),
+        SketchSpec("parts", "cms", "l_partkey", {"eps": 0.0001, "delta": 0.001}),
+    ]
+    agg = sketch_aggregate(li, ["l_returnflag"], specs)
+    agg = with_hll_estimate(agg, "orders_state", "n_orders")
+    return 5 * n, agg.select("l_returnflag", "n_orders", "n_updates").count()
+
+
+def q_events_distinct_users(spark):
+    from probabilistic_rs_spark.operators.distinct import approx_distinct
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n = ev.count()
+    out = approx_distinct(ev, "user_id", ["event_type"], p=14, out_col="n_users")
+    return n, out.count()
+
+
+QUERIES = {
+    "pages_hll_lang_day": q_pages_hll_lang_day,
+    "pages_heavy_hosts": q_pages_heavy_hosts,
+    "pages_quantiles": q_pages_quantiles,
+    "pages_bloom_membership": q_pages_bloom_membership,
+    "lineitem_flagship_multisketch": q_lineitem_flagship,
+    "events_distinct_users": q_events_distinct_users,
+}
+
+
+def main() -> None:
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    ensure_pages(spark)
+
+    timings: dict[str, float] = {}
+    rates: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        n_rows, _ = fn(spark)
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        rates[name] = round(n_rows / dt, 1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sketch_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF,
+                "cpus": CPUS,
+                "pages_rows": PAGES_ROWS,
+                "sketch_updates_per_sec": rates,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
