@@ -244,6 +244,127 @@ def _q_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFram
     return probe_recent(users, "user_id", levels).where(F.col("is_member")).select("user_id")
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup / similarity / text analysis / multimodal
+# ---------------------------------------------------------------------------
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", ["text"])
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=2, threshold=0.5
+    )
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact Jaccard — at the sf0.01 operating
+    point recall is exactly 1.0 (verified), so output ≡ all true pairs."""
+    from probabilistic_rs_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        n=2, threshold=0.5, num_perm=128, bands=32,
+    )
+
+
+def _q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.dedup import with_simhash
+
+    return with_simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8
+    )
+
+
+def _q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.dedup import embedding_cosine_pairs
+
+    out = embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = cosine_topk(emb, emb.where(F.col("vec_id") < 10), "vec_id", "embedding", k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 4).alias("cosine"), "rank"
+    )
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.functions.text import (
+        bpe_ish_token_count,
+        quality_score,
+        whitespace_token_count,
+    )
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        whitespace_token_count("text").alias("n_tok"),
+        bpe_ish_token_count("text").alias("n_bpe"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.functions.text import lang_id
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id("text").alias("pred_lang")
+    )
+
+
+def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.functions.text import doc_fingerprint
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", doc_fingerprint("text").alias("fp")
+    )
+
+
+def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.multimodal import media_metadata
+
+    payload = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8").alias("payload"),
+    )
+    return media_metadata(payload, "payload").select(
+        "doc_id", "media_type", "n_bytes", "content_sha256"
+    )
+
+
+def _q_media_featurize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from probabilistic_rs_spark.operators.multimodal import FEATURE_DIM, decode_and_featurize
+
+    payload = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8").alias("payload"),
+    )
+    ft = decode_and_featurize(payload, "payload", ["doc_id"])
+    l1 = F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double"))
+    return ft.select(
+        "doc_id",
+        (F.size("features") == F.lit(FEATURE_DIM)).alias("dim_ok"),
+        (F.abs(l1 - F.lit(1.0)) < F.lit(1e-3)).alias("norm_ok"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_distinct_users_by_event_type": _q_hll_users_by_event_type,
@@ -257,6 +378,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_price_quantile_bounds": _q_tdigest_price_bounds,
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
         "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
+        "dedup_exact_text": _q_dedup_exact,
+        "dedup_ngram_jaccard_pairs": _q_ngram_jaccard,
+        "dedup_minhash_lsh_pairs": _q_minhash_lsh,
+        "simhash_fingerprints": _q_simhash_fingerprints,
+        "simhash_dup_pairs": _q_simhash_pairs,
+        "embedding_cosine_neardup": _q_embedding_cosine_neardup,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "text_stats": _q_text_stats,
+        "text_lang_id": _q_text_lang_id,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "media_metadata_html": _q_media_metadata,
+        "media_featurize_check": _q_media_featurize_check,
     }
 
 
@@ -305,4 +438,107 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "
             "FROM events)"
         ),
+        "dedup_exact_text": (
+            "SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, "
+            "count(*)::BIGINT AS n_dups FROM documents GROUP BY text"
+        ),
+        "dedup_ngram_jaccard_pairs": _JACCARD_PAIRS_SQL,
+        "dedup_minhash_lsh_pairs": _JACCARD_PAIRS_SQL,
+        "simhash_fingerprints": _SIMHASH_SQL,
+        "simhash_dup_pairs": (
+            "WITH sim AS (" + _SIMHASH_SQL + ") "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "bit_count(xor(a.simhash, b.simhash))::INT AS hamming "
+            "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"
+        ),
+        "embedding_cosine_neardup": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.v, b.v), 4) AS cosine "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.4"
+        ),
+        "ann_cosine_topk": (
+            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), "
+            "q AS (SELECT * FROM e WHERE vec_id < 10), "
+            "s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, "
+            "      list_cosine_similarity(q.v, c.v) AS cos "
+            "      FROM q JOIN e c ON q.vec_id <> c.vec_id), "
+            "r AS (SELECT query_id, neighbor_id, cos, "
+            "      row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank "
+            "      FROM s) "
+            "SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank::INT AS rank "
+            "FROM r WHERE rank <= 5"
+        ),
+        "text_stats": (
+            "SELECT doc_id, "
+            "len(string_split(text, ' '))::INT AS n_tok, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INT AS n_bpe, "
+            "round(0.4 * least(1.0, len(string_split(text, ' ')) / 64.0) "
+            "  + 0.3 * (1.0 - least(1.0, 4.0 * "
+            "      (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE "
+            "       / greatest(length(text), 1)))) "
+            "  + 0.3 * (CASE WHEN "
+            "      list_sum([length(x) FOR x IN string_split(text, ' ')])::DOUBLE "
+            "        / greatest(len(string_split(text, ' ')), 1) BETWEEN 3.0 AND 8.0 "
+            "      THEN 1.0 ELSE 0.5 END), 6) AS quality "
+            "FROM documents"
+        ),
+        "text_lang_id": _LANG_ID_SQL,
+        "doc_fingerprints": (
+            "SELECT doc_id, list_min("
+            "[('0x' || substr(md5(substr(text, i, 16)), 1, 15))::UBIGINT "
+            " FOR i IN range(1, greatest(length(text) - 15, 1) + 1)])::BIGINT AS fp "
+            "FROM documents"
+        ),
+        "media_metadata_html": (
+            "SELECT doc_id, 'html' AS media_type, "
+            "(12 + length(text))::BIGINT AS n_bytes, "
+            "sha256('<html><body>' || text) AS content_sha256 FROM documents"
+        ),
+        "media_featurize_check": (
+            "SELECT doc_id, TRUE AS dim_ok, TRUE AS norm_ok FROM documents"
+        ),
     }
+
+
+# shared oracle fragments (DuckDB dialect) -----------------------------------
+
+_JACCARD_PAIRS_SQL = (
+    "WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents), "
+    "s AS (SELECT doc_id, "
+    "      list_distinct([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) sh FROM d), "
+    "p AS (SELECT a.doc_id id_a, b.doc_id id_b, "
+    "      len(list_intersect(a.sh, b.sh))::DOUBLE "
+    "        / len(list_distinct(list_concat(a.sh, b.sh))) jac "
+    "      FROM s a JOIN s b ON a.doc_id < b.doc_id) "
+    "SELECT id_a, id_b, jac AS jaccard FROM p WHERE jac >= 0.5"
+)
+
+_SIMHASH_SQL = (
+    "SELECT doc_id, "
+    "sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash FROM ("
+    "  SELECT doc_id, bb.b AS b, sum((((h >> bb.b) & 1) * 2 - 1)::BIGINT) s FROM ("
+    "    SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::UBIGINT h FROM ("
+    "      SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)"
+    "  ), (SELECT unnest(range(60)) b) bb GROUP BY 1, 2"
+    ") GROUP BY doc_id"
+)
+
+_LANG_ID_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents), "
+    "h AS (SELECT doc_id, "
+    "  len(list_filter(w, x -> x IN ('der','die','und','das','ist','nicht','ein','zu'))) s_de, "
+    "  len(list_filter(w, x -> x IN ('the','and','of','to','a','in','is','it'))) s_en, "
+    "  len(list_filter(w, x -> x IN ('el','la','de','que','los','es','un','una'))) s_es, "
+    "  len(list_filter(w, x -> x IN ('le','la','et','les','des','est','un','une'))) s_fr "
+    "FROM t), "
+    "m AS (SELECT *, greatest(s_de, s_en, s_es, s_fr) best FROM h) "
+    "SELECT doc_id, CASE "
+    "  WHEN best > 0 AND s_de = best THEN 'de' "
+    "  WHEN best > 0 AND s_en = best THEN 'en' "
+    "  WHEN best > 0 AND s_es = best THEN 'es' "
+    "  WHEN best > 0 AND s_fr = best THEN 'fr' "
+    "  ELSE 'und' END AS pred_lang FROM m"
+)

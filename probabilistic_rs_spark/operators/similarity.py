@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two strategies:
+
+* **brute-force cosine top-k** — the exactness baseline. Query vectors are
+  broadcast (small side); each corpus partition computes one numpy matmul
+  per Arrow batch and emits only its partition-local top-k per query
+  (map-side combine!), so the shuffle carries ``n_partitions × k`` rows
+  per query, never the corpus. Final top-k via window rank.
+* **LSH-bucketed ANN** — random-hyperplane signatures route corpus and
+  queries to buckets (with multi-probe on the query side); exact cosine
+  re-rank inside buckets. The 100 TB path: cost ∝ bucket occupancy.
+
+Cosine is computed in float64 on L2-normalized vectors; ties broken by
+ascending corpus id so results are deterministic across partitionings.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    rows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    return qids, Q
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: for every query row, the k most similar corpus
+    rows. Returns ``(query_id, neighbor_id, cosine, rank)``.
+
+    Queries must be broadcast-small (≤ ~10⁵ × dim floats). Excludes
+    self-matches (same id).
+    """
+    qid_c = query_id_col or id_col
+    qvec_c = query_vec_col or vec_col
+    qids, Q = _collect_queries(queries, qid_c, qvec_c)
+    k_ = int(k)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, Q))
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType(), False),
+            StructField("neighbor_id", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+
+    def partial_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_l, Q_l = bc.value
+        nq = len(qids_l)
+        # per-partition accumulators: keep only local top-k per query
+        best_sim = np.full((nq, k_), -np.inf)
+        best_id = np.full((nq, k_), -1, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+            M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+            S = Q_l @ M.T  # (nq, batch)
+            S[qids_l[:, None] == ids[None, :]] = -np.inf  # drop self-matches
+            cat_sim = np.concatenate([best_sim, S], axis=1)
+            cat_id = np.concatenate([best_id, np.broadcast_to(ids, (nq, len(ids)))], axis=1)
+            # top-k with deterministic tie-break (sim desc, id asc)
+            order = np.lexsort((cat_id, -cat_sim), axis=1)[:, :k_]
+            best_sim = np.take_along_axis(cat_sim, order, axis=1)
+            best_id = np.take_along_axis(cat_id, order, axis=1)
+        mask = best_id >= 0
+        rows = {
+            "query_id": np.repeat(qids_l, mask.sum(axis=1)),
+            "neighbor_id": best_id[mask],
+            "cosine": best_sim[mask],
+        }
+        yield pd.DataFrame(rows)
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    planes: int = 8,
+    tables: int = 4,
+    seed: int = 42,
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via multi-table random-hyperplane LSH.
+
+    ``tables`` independent signatures per row; a (query, corpus) pair is a
+    candidate if it collides in ANY table (union of equi-joins — never a
+    cross join). Exact cosine re-rank over candidates. Recall grows with
+    ``tables`` and shrinks with ``planes``; cost is bucket-occupancy-bound,
+    so this is the path that survives a 10⁹-row corpus.
+    Returns ``(query_id, neighbor_id, cosine, rank)``.
+    """
+    qid_c = query_id_col or id_col
+    qvec_c = query_vec_col or vec_col
+    planes_, tables_, seed_ = int(planes), int(tables), int(seed)
+
+    def add_buckets(df: DataFrame, vcol: str) -> DataFrame:
+        @F.pandas_udf("array<long>")
+        def buckets(vecs: pd.Series) -> pd.Series:
+            dim = len(vecs.iloc[0])
+            rng = np.random.default_rng(seed_)
+            H = rng.standard_normal((dim, planes_ * tables_))
+            M = np.stack(vecs.map(np.asarray).to_numpy()).astype(np.float64)
+            signs = (M @ H) > 0
+            w = 1 << np.arange(planes_, dtype=np.int64)
+            out = np.empty((len(M), tables_), dtype=np.int64)
+            for t in range(tables_):
+                blk = signs[:, t * planes_ : (t + 1) * planes_]
+                out[:, t] = (blk @ w) + (np.int64(t) << np.int64(planes_))
+            return pd.Series(list(out))
+
+        return df.withColumn("__bkts", buckets(F.col(vcol)))
+
+    c = add_buckets(corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")), "__cv")
+    q = add_buckets(
+        queries.select(F.col(qid_c).alias("__qid"), F.col(qvec_c).alias("__qv")), "__qv"
+    )
+    ce = c.select("__cid", "__cv", F.explode("__bkts").alias("__bkt"))
+    qe = q.select("__qid", "__qv", F.explode("__bkts").alias("__bkt"))
+    cand = (
+        qe.join(ce, "__bkt")
+        .where(F.col("__qid") != F.col("__cid"))
+        .select("__qid", "__qv", "__cid", "__cv")
+        .distinct()
+    )
+    nq = F.sqrt(F.aggregate("__qv", F.lit(0.0), lambda a, x: a + x * x))
+    nc = F.sqrt(F.aggregate("__cv", F.lit(0.0), lambda a, x: a + x * x))
+    dot = F.aggregate(F.zip_with("__qv", "__cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    scored = cand.withColumn("cosine", dot / (nq * nc))
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

@@ -1,0 +1,338 @@
+"""Tests for training-data pipeline operators: dedup, similarity search,
+text analysis, multimodal plumbing. Exact oracles computed in-process
+(pure Python / numpy) at sf0.001–0.01 scale."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_correct):
+    return spark.read.parquet(f"{sf_correct}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_correct):
+    return spark.read.parquet(f"{sf_correct}/embeddings.parquet").cache()
+
+
+def _bigram_sets(rows):
+    out = {}
+    for doc_id, text in rows:
+        w = text.split(" ")
+        out[doc_id] = {f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)}
+    return out
+
+
+def _true_pairs(shingle_sets, threshold):
+    ids = sorted(shingle_sets)
+    pairs = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = shingle_sets[a], shingle_sets[b]
+            j = len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                pairs.add((a, b))
+    return pairs
+
+
+class TestDedup:
+    def test_exact_dedup_counts(self, spark):
+        from probabilistic_rs_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa"), (5, "cc")], "id long, t string"
+        )
+        rows = {r["id"]: r["n_dups"] for r in exact_dedup(df, "id", ["t"]).collect()}
+        assert rows == {1: 3, 2: 1, 5: 1}  # min id kept per content group
+
+    def test_ngram_jaccard_matches_bruteforce(self, docs):
+        from probabilistic_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", 2, 0.5).collect()
+        }
+        sets = _bigram_sets([(r["doc_id"], r["text"]) for r in docs.collect()])
+        want = _true_pairs(sets, 0.5)
+        assert set(got) == want
+        for (a, b), j in got.items():
+            exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            assert abs(j - exact) < 1e-12
+
+    def test_minhash_lsh_full_recall_at_operating_point(self, docs):
+        from probabilistic_rs_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", 2, 0.5).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_pairs(
+                docs, "doc_id", "text", n=2, threshold=0.5, num_perm=128, bands=32
+            ).collect()
+        }
+        # exact-verify step makes precision 1.0 by construction; the LSH
+        # band config must reach full recall on this distribution
+        assert lsh == exact and len(lsh) > 0
+
+    def test_minhash_signature_determinism(self, docs):
+        from probabilistic_rs_spark.operators.dedup import minhash_signatures
+
+        a = minhash_signatures(docs.limit(50), "doc_id", "text").orderBy("doc_id")
+        b = minhash_signatures(
+            docs.limit(50).repartition(7), "doc_id", "text"
+        ).orderBy("doc_id")
+        assert [r["sig"] for r in a.collect()] == [r["sig"] for r in b.collect()]
+
+    def test_simhash_close_for_similar_texts(self, spark):
+        from probabilistic_rs_spark.operators.dedup import simhash_pairs, with_simhash
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        near = base.replace("lazy", "sleepy", 1)
+        far = "completely different words entirely unrelated content here " * 8
+        df = spark.createDataFrame(
+            [(1, base), (2, near), (3, far)], "doc_id long, text string"
+        )
+        fp = {r["doc_id"]: r["simhash"] for r in with_simhash(df, "doc_id", "text").collect()}
+        d12 = bin(fp[1] ^ fp[2]).count("1")
+        d13 = bin(fp[1] ^ fp[3]).count("1")
+        assert d12 < d13 and d12 <= 6
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_pairs(df, "doc_id", "text", max_hamming=6).collect()
+        }
+        assert (1, 2) in pairs and (1, 3) not in pairs
+
+    def test_simhash_pigeonhole_join_is_exact(self, docs):
+        """Block-join candidate generation must find EVERY pair within the
+        Hamming budget (pigeonhole guarantee), not just most."""
+        from probabilistic_rs_spark.operators.dedup import simhash_pairs, with_simhash
+
+        sub = docs.limit(120)
+        fps = {r["doc_id"]: r["simhash"] for r in with_simhash(sub, "doc_id", "text").collect()}
+        ids = sorted(fps)
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if bin(fps[a] ^ fps[b]).count("1") <= 8
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(sub, "doc_id", "text", max_hamming=8).collect()
+        }
+        assert got == want
+
+    def test_embedding_cosine_pairs_exact(self, emb):
+        from probabilistic_rs_spark.operators.dedup import embedding_cosine_pairs
+
+        got = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in embedding_cosine_pairs(emb, "vec_id", "embedding", 0.4).collect()
+        }
+        rows = emb.collect()
+        V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        ids = np.array([r["vec_id"] for r in rows])
+        S = V @ V.T
+        want = {
+            (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if S[i, j] >= 0.4
+        }
+        assert set(got) == want
+        assert all(abs(v) <= 1.0 + 1e-9 for v in got.values())
+
+    def test_lsh_prefilter_is_subset_of_exact(self, emb):
+        from probabilistic_rs_spark.operators.dedup import embedding_cosine_pairs
+
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_cosine_pairs(emb, "vec_id", "embedding", 0.4).collect()
+        }
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_cosine_pairs(
+                emb, "vec_id", "embedding", 0.4, planes=4
+            ).collect()
+        }
+        assert lsh <= exact  # verify step guarantees precision 1.0
+
+
+class TestSimilarity:
+    def test_cosine_topk_matches_numpy(self, emb):
+        from probabilistic_rs_spark.operators.similarity import cosine_topk
+
+        q = emb.where(F.col("vec_id") < 5)
+        got = cosine_topk(emb, q, "vec_id", "embedding", k=3).collect()
+        rows = emb.collect()
+        ids = np.array([r["vec_id"] for r in rows])
+        V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        S = V @ V.T
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cosine"]))
+        assert set(by_q) == {0, 1, 2, 3, 4}
+        for qid, neigh in by_q.items():
+            qi = int(np.where(ids == qid)[0][0])
+            sims = S[qi].copy()
+            sims[ids == qid] = -np.inf
+            order = np.lexsort((ids, -sims))[:3]
+            want = [(int(ids[j]), sims[j]) for j in order]
+            got_sorted = sorted(neigh)
+            assert [n for _, n, _ in got_sorted] == [n for n, _ in want]
+            for (_, _, c), (_, s) in zip(got_sorted, want):
+                assert abs(c - s) < 1e-9
+
+    def test_topk_partition_invariance(self, emb):
+        from probabilistic_rs_spark.operators.similarity import cosine_topk
+
+        q = emb.where(F.col("vec_id") < 3)
+        a = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in cosine_topk(emb, q, "vec_id", "embedding", k=4).collect()
+        )
+        b = sorted(
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in cosine_topk(emb.repartition(13), q, "vec_id", "embedding", k=4).collect()
+        )
+        assert a == b
+
+    def test_lsh_ann_plumbing_and_recall(self, emb):
+        from probabilistic_rs_spark.operators.similarity import cosine_topk, lsh_ann_topk
+
+        q = emb.where(F.col("vec_id") < 10)
+        exact = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk(emb, q, "vec_id", "embedding", k=5).collect()
+        }
+        ann = lsh_ann_topk(emb, q, "vec_id", "embedding", k=5, planes=6, tables=8)
+        rows = ann.collect()
+        assert len(rows) == 50  # k results per query even approximately
+        got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        # random embeddings are LSH's worst case; just require real signal
+        assert len(exact & got) / len(exact) > 0.15
+
+
+class TestText:
+    def test_token_counts_and_quality(self, spark):
+        from probabilistic_rs_spark.functions.text import (
+            bpe_ish_token_count,
+            quality_score,
+            whitespace_token_count,
+        )
+
+        df = spark.createDataFrame(
+            [("hello world foo",), ("a1b2, c3!",)], "t string"
+        ).select(
+            whitespace_token_count("t").alias("nt"),
+            bpe_ish_token_count("t").alias("nb"),
+            quality_score("t").alias("q"),
+        )
+        r = df.collect()
+        assert r[0]["nt"] == 3 and r[0]["nb"] == 3
+        # a1b2, c3! -> [a,1,b,2,',',c,3,'!'] = 8 bpe-ish tokens, 2 ws tokens
+        assert r[1]["nt"] == 2 and r[1]["nb"] == 8
+        assert 0.0 <= r[0]["q"] <= 1.0 and 0.0 <= r[1]["q"] <= 1.0
+
+    def test_lang_id_profiles(self, spark):
+        from probabilistic_rs_spark.functions.text import lang_id
+
+        df = spark.createDataFrame(
+            [
+                ("the cat is in the house and it is big",),
+                ("der hund ist nicht ein tier und das haus",),
+                ("le chat et les maisons est un une des",),
+                ("xyzzy plugh quux",),
+            ],
+            "t string",
+        ).select(lang_id("t").alias("lang"))
+        assert [r["lang"] for r in df.collect()] == ["en", "de", "fr", "und"]
+
+    def test_fingerprint_locality(self, spark):
+        """Same text → same fp; a large edit far from the minimizing
+        window usually preserves fp only if min window untouched — we
+        just assert determinism + difference for disjoint texts."""
+        from probabilistic_rs_spark.functions.text import doc_fingerprint
+
+        df = spark.createDataFrame(
+            [("abcdefghijklmnopqrstuvwxyz0123456789",), ("abcdefghijklmnopqrstuvwxyz0123456789",), ("totally different content here with words",)],
+            "t string",
+        ).select(doc_fingerprint("t").alias("fp"))
+        fps = [r["fp"] for r in df.collect()]
+        assert fps[0] == fps[1] != fps[2]
+
+
+class TestMultimodal:
+    def test_sniff_and_metadata(self, spark):
+        from probabilistic_rs_spark.operators.multimodal import media_metadata
+
+        df = spark.createDataFrame(
+            [
+                (1, bytearray(b"\x89PNG\r\n\x1a\nrest")),
+                (2, bytearray(b"\xff\xd8\xff\xe0jpegdata")),
+                (3, bytearray(b"GIF89a...")),
+                (4, bytearray(b"RIFF....WAVE")),
+                (5, bytearray(b"<html><body>x</body></html>")),
+                (6, bytearray(b"plain bytes")),
+            ],
+            "id long, payload binary",
+        )
+        got = {
+            r["id"]: (r["media_type"], r["n_bytes"])
+            for r in media_metadata(df, "payload").collect()
+        }
+        assert got[1][0] == "png" and got[2][0] == "jpeg" and got[3][0] == "gif"
+        assert got[4][0] == "riff" and got[5][0] == "html" and got[6][0] == "unknown"
+        assert got[6][1] == len(b"plain bytes")
+
+    def test_featurize_batch_shape_and_determinism(self, spark):
+        from probabilistic_rs_spark.operators.multimodal import (
+            FEATURE_DIM,
+            decode_and_featurize,
+        )
+
+        df = spark.createDataFrame(
+            [(i, bytearray(bytes([i % 256]) * (10 + i))) for i in range(100)]
+            + [(100, None)],
+            "id long, payload binary",
+        )
+        out = decode_and_featurize(df, "payload", ["id"])
+        rows = {r["id"]: r for r in out.collect()}
+        assert len(rows) == 101
+        assert rows[100]["features"] is None and rows[100]["n_bytes"] is None
+        assert len(rows[0]["features"]) == FEATURE_DIM
+        assert abs(sum(rows[7]["features"]) - 1.0) < 1e-3
+        rows2 = {r["id"]: r for r in decode_and_featurize(df.repartition(9), "payload", ["id"]).collect()}
+        assert rows2[7]["features"] == rows[7]["features"]
+
+    def test_real_decoder_is_explicit_stub(self, spark):
+        from probabilistic_rs_spark.operators.multimodal import decode_and_featurize
+
+        df = spark.createDataFrame([(1, bytearray(b"x"))], "id long, payload binary")
+        with pytest.raises(NotImplementedError):
+            decode_and_featurize(df, "payload", ["id"], decoder="real")
+
+    def test_injected_decoder(self, spark):
+        from probabilistic_rs_spark.operators.multimodal import (
+            FEATURE_DIM,
+            decode_and_featurize,
+        )
+
+        def decoder(payloads):
+            return np.full((len(payloads), FEATURE_DIM), 0.5, dtype=np.float32)
+
+        df = spark.createDataFrame([(1, bytearray(b"abc"))], "id long, payload binary")
+        r = decode_and_featurize(df, "payload", ["id"], decoder=decoder).collect()[0]
+        assert r["features"] == [0.5] * FEATURE_DIM
