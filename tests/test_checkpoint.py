@@ -1,0 +1,159 @@
+"""Checkpoint / lineage / resume lifecycle tests — mirroring the
+reference's persistence suite structure (tests/core_bloom_fjall_tests.rs:
+save→drop→load→verify :55-93, create_or_load both branches :95-127,
+accumulating cycles :172-203, config-survives-reload :206-239)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from probabilistic_rs_spark.checkpoint import (
+    SketchCheckpoint,
+    resumable_sketch_aggregate,
+)
+from probabilistic_rs_spark.errors import SketchConfigError
+from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, with_hll_estimate
+
+
+SPECS = [
+    SketchSpec("users", "hll", "user_id", {"p": 14}),
+    SketchSpec("vals", "kll", "value", {"k": 200}),
+]
+
+
+@pytest.fixture()
+def units(spark, tmp_path):
+    """Split events into 4 single-file parquet units."""
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = []
+    for i in range(4):
+        p = str(tmp_path / f"unit{i}")
+        ev.where(f"event_id % 4 = {i}").coalesce(1).write.parquet(p)
+        out.append(p)
+    return out
+
+
+class TestLifecycle:
+    def test_create_wipes_and_load_restores_config(self, tmp_path):
+        d = str(tmp_path / "ck")
+        SketchCheckpoint.create(d, ["event_type"], SPECS)
+        loaded = SketchCheckpoint.load(d)
+        assert loaded.group_cols == ["event_type"]
+        assert [s.kind for s in loaded.specs] == ["hll", "kll"]
+        assert loaded.specs[0].params == {"p": 14}
+        # create again → wiped clean
+        (tmp_path / "ck" / "lineage" / "junk.json").write_text(
+            json.dumps({"unit": "x", "n_rows": 0, "n_partials": 0, "state_bytes": 0, "wall_s": 0})
+        )
+        SketchCheckpoint.create(d, ["event_type"], SPECS)
+        assert SketchCheckpoint.load(d).completed_units() == {}
+
+    def test_load_missing_manifest_raises(self, tmp_path):
+        with pytest.raises(SketchConfigError, match="manifest"):
+            SketchCheckpoint.load(str(tmp_path / "nope"))
+
+    def test_create_or_load_both_branches(self, tmp_path):
+        d = str(tmp_path / "ck")
+        a = SketchCheckpoint.create_or_load(d, ["event_type"], SPECS)
+        assert a.group_cols == ["event_type"]
+        # second call loads (persisted config wins over different caller args)
+        b = SketchCheckpoint.create_or_load(d, ["IGNORED"], [SPECS[0]])
+        assert b.group_cols == ["event_type"]
+        assert len(b.specs) == 2
+
+
+class TestResume:
+    def test_kill_after_two_units_then_resume(self, spark, tmp_path, units):
+        d = str(tmp_path / "ck")
+
+        # single-shot ground truth
+        full = resumable_sketch_aggregate(
+            spark, units, str(tmp_path / "ck_full"), ["event_type"], SPECS
+        )
+        want = {
+            r["event_type"]: (bytes(r["users_state"]), r["n_updates"])
+            for r in full.collect()
+        }
+
+        class Kill(Exception):
+            pass
+
+        ck = SketchCheckpoint.create(d, ["event_type"], SPECS)
+        seen = []
+
+        def killer(unit, rec):
+            seen.append(unit)
+            if len(seen) == 2:
+                raise Kill()
+
+        with pytest.raises(Kill):
+            ck.run_units(spark, units, on_unit_done=killer)
+        assert len(ck.completed_units()) == 2
+
+        # resume: completed units must be skipped, not re-read
+        ck2 = SketchCheckpoint.load(d)
+        res = ck2.run_units(spark, units)
+        assert sorted(res["skipped"]) == sorted(units[:2])
+        assert sorted(res["ran"]) == sorted(units[2:])
+
+        got = {
+            r["event_type"]: (bytes(r["users_state"]), r["n_updates"])
+            for r in ck2.merged_states(spark).collect()
+        }
+        # bit-identical final states vs the never-killed run (merge order
+        # is pid-sorted → deterministic)
+        assert got == want
+
+    def test_rerun_is_noop_and_metrics_accumulate(self, spark, tmp_path, units):
+        d = str(tmp_path / "ck")
+        ck = SketchCheckpoint.create(d, [], [SPECS[0]])
+        ck.run_units(spark, units)
+        m1 = ck.metrics()
+        res = ck.run_units(spark, units)
+        assert res["ran"] == [] and len(res["skipped"]) == 4
+        assert ck.metrics() == m1
+        assert m1["units_done"] == 4 and m1["rows_absorbed"] == 1000  # sf0.001 events
+
+    def test_estimates_survive_resume(self, spark, tmp_path, units):
+        """HLL estimate from a resumed checkpoint equals exact distinct
+        (sparse mode at this scale) — the reference's save→load→verify."""
+        d = str(tmp_path / "ck")
+        out = resumable_sketch_aggregate(spark, units[:2], d, [], [SPECS[0]])
+        # second call with remaining units resumes and extends
+        out = resumable_sketch_aggregate(spark, units, d, [], [SPECS[0]])
+        est = with_hll_estimate(out, "users_state", "est").head()["est"]
+        exact = (
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+            .select("user_id")
+            .distinct()
+            .count()
+        )
+        assert abs(est - exact) / exact <= 0.026  # 1.04/sqrt(2^14) * 3.2
+
+    def test_config_mismatch_raises(self, spark, tmp_path, units):
+        d = str(tmp_path / "ck")
+        resumable_sketch_aggregate(spark, units[:1], d, [], [SPECS[0]])
+        with pytest.raises(SketchConfigError, match="manifest wins"):
+            resumable_sketch_aggregate(
+                spark, units, d, [], [SketchSpec("other", "hll", "user_id", {"p": 12})]
+            )
+
+    def test_crash_between_partials_and_lineage_is_idempotent(
+        self, spark, tmp_path, units
+    ):
+        """Partials dir exists but lineage record missing (crash window):
+        the unit re-runs and overwrites — final result unchanged."""
+        d = str(tmp_path / "ck")
+        ck = SketchCheckpoint.create(d, [], [SPECS[0]])
+        ck.run_units(spark, units)
+        want = ck.merged_states(spark).head()["n_updates"]
+        # simulate the crash window: delete one lineage record
+        ldir = os.path.join(d, "lineage")
+        os.remove(os.path.join(ldir, sorted(os.listdir(ldir))[0]))
+        assert len(ck.completed_units()) == 3
+        res = ck.run_units(spark, units)
+        assert len(res["ran"]) == 1
+        assert ck.merged_states(spark).head()["n_updates"] == want
