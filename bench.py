@@ -192,10 +192,31 @@ QUERIES = {
 }
 
 
+def warmup(spark) -> None:
+    """Untimed: spin up Python workers, warm page cache and JVM JIT so the
+    first timed query doesn't absorb one-time costs."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+
+    spark.read.parquet(PAGES_PATH).select(F.count("url")).head()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(50_000)
+    sketch_aggregate(
+        li,
+        [],
+        [
+            SketchSpec("w1", "hll", "l_orderkey", {"p": 12}),
+            SketchSpec("w2", "bloom", "l_orderkey", {"capacity": 100_000}),
+            SketchSpec("w3", "tdigest", "l_extendedprice", {"delta": 100.0}),
+        ],
+    ).head()
+
+
 def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     ensure_pages(spark)
+    warmup(spark)
 
     timings: dict[str, float] = {}
     rates: dict[str, float] = {}

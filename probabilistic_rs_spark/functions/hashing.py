@@ -177,11 +177,21 @@ def pad_batch_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
     maxlen = int(lens.max()) if n and lens.max() > 0 else 0
     maxlen = ((maxlen + 4) // 4) * 4
     out = np.zeros((n, maxlen), dtype=np.uint8)
-    if maxlen:
-        pos = np.arange(maxlen, dtype=np.int64)
-        valid = pos[None, :] < lens[:, None]
-        src = offsets[:-1, None] + pos[None, :]
-        out[valid] = data[src[valid]]
+    if maxlen and n:
+        # column-at-a-time copy: O(maxlen) small vector ops, never a
+        # total-sized int64 index array (large fresh allocations fault
+        # slowly on microVM memory; n-sized intermediates stay cached)
+        offs = offsets[:-1]
+        longest = int(lens.max())
+        j = 0
+        while j < longest:
+            m = lens > j
+            if m.all():
+                out[:, j] = data[offs + j]
+            else:
+                sel = np.flatnonzero(m)
+                out[sel, j] = data[offs[sel] + j]
+            j += 1
     return out, lens
 
 

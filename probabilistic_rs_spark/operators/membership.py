@@ -73,10 +73,13 @@ def bloom_probe(
 
     @pandas_udf(BooleanType())
     def probe(items: pd.Series) -> pd.Series:
+        import pyarrow as pa
+
+        from probabilistic_rs_spark.functions.hashing import pad_batch_arrow
+
         sk = _get_filter(key, bc.value)
-        vals = items.astype(str).str.encode("utf-8")
-        res = sk.contains_batch(vals.to_numpy())
-        return pd.Series(res)
+        buf, lens = pad_batch_arrow(pa.Array.from_pandas(items, type=pa.string()))
+        return pd.Series(sk.contains_padded(buf, lens))
 
     return probe_df.withColumn(out_col, probe(F.col(item_col).cast("string")))
 

@@ -93,12 +93,13 @@ def probe_recent(
 
     @pandas_udf(BooleanType())
     def probe(items: pd.Series) -> pd.Series:
-        from probabilistic_rs_spark.functions.hashing import _pad_batch
+        import pyarrow as pa
+
+        from probabilistic_rs_spark.functions.hashing import pad_batch_arrow
 
         levels = [BloomSketch.from_bytes(b) for b in bc.value]
-        vals = items.astype(str).str.encode("utf-8").to_numpy()
-        buf, lens = _pad_batch(vals)
-        res = np.zeros(len(vals), dtype=bool)
+        buf, lens = pad_batch_arrow(pa.Array.from_pandas(items, type=pa.string()))
+        res = np.zeros(len(lens), dtype=bool)
         for lv in levels:
             res |= lv.contains_padded(buf, lens)
         return pd.Series(res)

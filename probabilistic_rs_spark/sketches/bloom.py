@@ -199,6 +199,13 @@ class BloomSketch:
     # -- serialization -------------------------------------------------------
 
     def to_bytes(self) -> bytes:
+        """Adaptive encoding: version 1 = dense bitmap; version 2 = sparse
+        uint32 set-bit indices, chosen automatically when it is smaller.
+        Partition-local partials of a big filter are lightly filled
+        (n_rows/partition ≪ capacity), so at scale the shuffle carries
+        ~4·k·rows bytes per partial instead of m/8 — the sparse analog of
+        the reference's dirty-chunk incremental snapshot
+        (``src/bloom/filter.rs:221-243``)."""
         meta = _META.pack(
             self.config.capacity,
             self.config.false_positive_rate,
@@ -207,18 +214,37 @@ class BloomSketch:
             self.config.chunk_size_bytes,
             self.n_updates,
         )
-        return pack_header(TYPE_BLOOM) + meta + self.bits.tobytes()
+        n_set = int(_POPCNT[self.bits].sum())
+        if n_set * 4 < len(self.bits):
+            idx = np.flatnonzero(
+                np.unpackbits(self.bits, bitorder="little")
+            ).astype(np.uint32)
+            return pack_header(TYPE_BLOOM, version=2) + meta + idx.tobytes()
+        return pack_header(TYPE_BLOOM, version=1) + meta + self.bits.tobytes()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BloomSketch":
-        _, off = unpack_header(data, TYPE_BLOOM)
+        version, off = unpack_header(data, TYPE_BLOOM)
         capacity, fpr, m, k, cs, n_updates = unpack_meta(_META, data, off)
         sk = cls(BloomConfig(capacity, fpr, cs))
         if (sk.m, sk.k) != (m, k):
             raise SketchStateError("derived (m,k) mismatch on deserialize")
-        bits = np.frombuffer(data, dtype=np.uint8, offset=off + _META.size)
-        if len(bits) != len(sk.bits):
-            raise SketchStateError("bit vector length mismatch")
-        sk.bits = bits.copy()
+        payload_off = off + _META.size
+        if version == 2:
+            idx = np.frombuffer(data, dtype=np.uint32, offset=payload_off)
+            if len(idx) and int(idx.max()) >= sk.m:
+                raise SketchStateError("sparse bit index out of range")
+            np.bitwise_or.at(
+                sk.bits, idx >> np.uint32(3), (1 << (idx & 7)).astype(np.uint8)
+            )
+        else:
+            bits = np.frombuffer(data, dtype=np.uint8, offset=payload_off)
+            if len(bits) != len(sk.bits):
+                raise SketchStateError("bit vector length mismatch")
+            sk.bits = bits.copy()
         sk.n_updates = n_updates
         return sk
+
+
+# byte-popcount lookup table for the adaptive encoding decision
+_POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)

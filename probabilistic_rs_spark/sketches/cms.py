@@ -94,17 +94,40 @@ class CountMinSketch:
     # -- serialization ---------------------------------------------------------
 
     def to_bytes(self) -> bytes:
+        """Adaptive: version 1 = dense d×w int64 matrix; version 2 = sparse
+        (uint32 flat index, int64 count) pairs, chosen when smaller.
+        Partition-local partials touch ≤ d·rows cells of the d·w table, so
+        at scale the shuffle carries the occupied cells only."""
         meta = _META.pack(self.eps, self.delta, self.d, self.w, self.n_total)
-        return pack_header(TYPE_CMS) + meta + self.table.tobytes()
+        flat = self.table.ravel()
+        nz = np.flatnonzero(flat)
+        if len(nz) * 12 < flat.nbytes:
+            payload = nz.astype(np.uint32).tobytes() + flat[nz].tobytes()
+            return pack_header(TYPE_CMS, version=2) + meta + payload
+        return pack_header(TYPE_CMS, version=1) + meta + self.table.tobytes()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CountMinSketch":
-        _, off = unpack_header(data, TYPE_CMS)
+        version, off = unpack_header(data, TYPE_CMS)
         eps, delta, d, w, n_total = unpack_meta(_META, data, off)
         sk = cls(eps=eps, delta=delta)
         if (sk.d, sk.w) != (d, w):
             raise SketchStateError("CMS derived shape mismatch on deserialize")
-        table = np.frombuffer(data, dtype=np.int64, offset=off + _META.size)
-        sk.table = table.reshape(d, w).copy()
+        body_off = off + _META.size
+        if version == 2:
+            body = len(data) - body_off
+            if body % 12:
+                raise SketchStateError("corrupt sparse CMS payload")
+            nnz = body // 12
+            idx = np.frombuffer(data, dtype=np.uint32, offset=body_off, count=nnz)
+            cnt = np.frombuffer(data, dtype=np.int64, offset=body_off + 4 * nnz, count=nnz)
+            if nnz and int(idx.max()) >= d * w:
+                raise SketchStateError("sparse CMS index out of range")
+            sk.table.ravel()[idx] = cnt
+        else:
+            table = np.frombuffer(data, dtype=np.int64, offset=body_off)
+            if len(table) != d * w:
+                raise SketchStateError("CMS table size mismatch")
+            sk.table = table.reshape(d, w).copy()
         sk.n_total = n_total
         return sk
