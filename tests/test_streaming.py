@@ -1,0 +1,147 @@
+"""Structured Streaming expiring-Bloom tests: state parity with the batch
+windowed path, probe semantics, and watermark-driven expiry (the
+reference's level rotation/expiry, src/ebloom/filter.rs:249-341, restated
+on event time per SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+
+
+def _run_stream(spark, src_dir, ckpt, schema, **kwargs):
+    from probabilistic_rs_spark.streaming import streaming_windowed_bloom
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming_windowed_bloom(stream, "ts", "user_id", **kwargs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ebloom_out")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql("SELECT * FROM ebloom_out")
+
+
+class TestStreamingExpiringBloom:
+    def test_state_parity_and_expiry(self, spark, events, tmp_path):
+        from probabilistic_rs_spark.operators.windowed_bloom import (
+            probe_recent,
+            windowed_bloom_states,
+        )
+
+        # chronological file splits => watermark advances between batches
+        src = str(tmp_path / "src")
+        tmin, tmax = events.agg(F.min("ts"), F.max("ts")).head()
+        span = (tmax - tmin).total_seconds()
+        bounds = [tmin + _td(span * f) for f in (0.34, 0.67)]
+        parts = [
+            events.where(F.col("ts") < bounds[0]),
+            events.where((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+            events.where(F.col("ts") >= bounds[1]),
+        ]
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(f"{src}/f{i}")
+            time.sleep(1.1)  # file-source ordering is by mod time
+        # register the three dirs as one glob source
+        import glob
+        import os
+        import shutil
+
+        flat = str(tmp_path / "flat")
+        os.makedirs(flat)
+        for i in range(3):
+            for f in glob.glob(f"{src}/f{i}/part-*.parquet"):
+                shutil.copy(f, f"{flat}/{i:02d}_{os.path.basename(f)}")
+                os.utime(f"{flat}/{i:02d}_{os.path.basename(f)}", (time.time() + i, time.time() + i))
+
+        kwargs = dict(
+            level_duration="7 days",
+            watermark_delay="1 day",
+            capacity_per_level=10_000,
+            target_fpr=0.01,
+        )
+        res = _run_stream(
+            spark, flat, str(tmp_path / "ck"), events.schema, **kwargs
+        ).cache()
+        assert res.count() > 0
+
+        # last emission per window (update mode emits once per touched batch)
+        from pyspark.sql import Window as W
+
+        latest = (
+            res.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("window_start").orderBy(
+                        F.desc("expired"), F.desc("n_updates")
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("window_start", "window_end", "state", "n_updates", "expired")
+        )
+
+        batch = windowed_bloom_states(
+            events,
+            "ts",
+            "user_id",
+            level_duration="7 days",
+            capacity_per_level=10_000,
+            target_fpr=0.01,
+        )
+        want = {
+            r["window_start"]: (bytes(r["bloom_state"]), r["n_updates"])
+            for r in batch.collect()
+        }
+        got = {
+            r["window_start"]: (bytes(r["state"]), r["n_updates"])
+            for r in latest.collect()
+        }
+        assert set(got) == set(want)
+        for wstart, (blob, n) in want.items():
+            gblob, gn = got[wstart]
+            assert gn == n, f"n_updates mismatch for {wstart}"
+            # bit-identical states: OR-merge is order-independent
+            from probabilistic_rs_spark.sketches.bloom import BloomSketch
+
+            assert (
+                BloomSketch.from_bytes(gblob).bits.tobytes()
+                == BloomSketch.from_bytes(blob).bits.tobytes()
+            )
+
+        # expiry: with 3 chronological micro-batches and a 1-day watermark
+        # over a ~30-day span, at least the oldest window must have expired
+        n_expired = res.where("expired").count()
+        assert n_expired >= 1
+
+        # probe semantics over the streamed states (cross-level OR)
+        levels = [
+            (r["window_start"], r["window_end"], bytes(r["state"]))
+            for r in latest.where(~F.col("expired")).collect()
+        ][:3]
+        if levels:
+            users = events.select("user_id").distinct().limit(50)
+            hit = probe_recent(users, "user_id", levels).where("is_member").count()
+            assert hit >= 0  # no exceptions; zero-false-negative checked in batch tests
+
+
+def _td(seconds: float):
+    import datetime
+
+    return datetime.timedelta(seconds=seconds)
