@@ -132,6 +132,17 @@ def calculate_level_fpr(target_fpr: float, num_levels: int, active_ratio: float)
     return 1.0 - (1.0 - target_fpr) ** (1.0 / effective_levels)
 
 
+def calculate_optimal_params(
+    capacity: int, target_fpr: float, num_levels: int, active_ratio: float
+) -> tuple[float, int, int]:
+    """(level_fpr, m, k) for a multi-level filter — reference
+    ``src/hash.rs:175-192`` (also dead code there; kept for parity)."""
+    level_fpr = calculate_level_fpr(target_fpr, num_levels, active_ratio)
+    m = optimal_bit_vector_size(capacity, level_fpr)
+    k = optimal_num_hashes(capacity, m)
+    return level_fpr, m, k
+
+
 # ---------------------------------------------------------------------------
 # Vectorized batch kernels
 # ---------------------------------------------------------------------------
