@@ -70,9 +70,15 @@ def cms_heavy_hitters(
     candidates_per_partition: int = 1024,
     threshold: int | None = None,
     top_k: int | None = None,
+    tree_fanin: int | None = None,
 ) -> DataFrame:
     """Returns (key, est_count) for candidate heavy hitters; filter with
-    ``threshold`` (count ≥ threshold) and/or ``top_k``."""
+    ``threshold`` (count ≥ threshold) and/or ``top_k``.
+
+    ``tree_fanin``: pre-merge partials in ``pid % fanin`` buckets so the
+    final reducer sees at most ``fanin`` rows — required when the input
+    has ~10⁴+ partitions (otherwise one reducer deserializes every
+    partition's CMS matrix)."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     projected = df.select(
@@ -126,6 +132,36 @@ def cms_heavy_hitters(
         )
 
     partials = projected.mapInArrow(build, _PARTIAL_SCHEMA)
+
+    def premerge(pdf: pd.DataFrame) -> pd.DataFrame:
+        """Bucket-level partial merge: CMS add + candidate union (deduped
+        by hash). Output shape identical to a single partial row."""
+        pdf = pdf.sort_values("__pid", kind="stable")
+        blobs = pdf["cms_state"]
+        cms = CountMinSketch.from_bytes(blobs.iloc[0])
+        for b in blobs.iloc[1:]:
+            cms.merge(CountMinSketch.from_bytes(b))
+        key_by_hash: dict = {}
+        for keys, hashes in zip(pdf["cand_keys"], pdf["cand_hashes"]):
+            for k, h in zip(keys, hashes):
+                key_by_hash.setdefault(int(h), k)
+        hs = sorted(key_by_hash.keys())
+        return pd.DataFrame(
+            {
+                "__pid": [int(pdf["__pid"].iloc[0])],
+                "cms_state": [cms.to_bytes()],
+                "cand_keys": [[key_by_hash[h] for h in hs]],
+                "cand_hashes": [hs],
+                "n_updates": [int(pdf["n_updates"].sum())],
+            }
+        )
+
+    if tree_fanin and tree_fanin > 1:
+        partials = (
+            partials.withColumn("__bucket", F.pmod(F.col("__pid"), F.lit(tree_fanin)))
+            .groupBy("__bucket")
+            .applyInPandas(premerge, _PARTIAL_SCHEMA)
+        )
 
     def finish(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__pid", kind="stable")

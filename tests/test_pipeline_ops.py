@@ -169,6 +169,24 @@ class TestDedup:
         assert lsh <= exact  # verify step guarantees precision 1.0
 
 
+class TestHeavyHitterTree:
+    def test_tree_fanin_matches_flat_merge(self, spark, sf_correct):
+        from probabilistic_rs_spark.operators.heavy_hitters import cms_heavy_hitters
+
+        li = spark.read.parquet(f"{sf_correct}/lineitem.parquet").repartition(24)
+        flat = {
+            (r["key"], r["est_count"])
+            for r in cms_heavy_hitters(li, "l_partkey", threshold=45).collect()
+        }
+        tree = {
+            (r["key"], r["est_count"])
+            for r in cms_heavy_hitters(
+                li, "l_partkey", threshold=45, tree_fanin=4
+            ).collect()
+        }
+        assert flat == tree and len(flat) > 0
+
+
 class TestSimilarity:
     def test_cosine_topk_matches_numpy(self, emb):
         from probabilistic_rs_spark.operators.similarity import cosine_topk
