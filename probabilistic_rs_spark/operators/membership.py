@@ -43,6 +43,10 @@ def build_bloom_state(
         item_col,
         {"capacity": capacity, "false_positive_rate": false_positive_rate},
     )
+    if tree_fanin is not None and df.rdd.getNumPartitions() <= 2 * tree_fanin:
+        # the pre-merge level only pays off when it reduces fan-in; below
+        # that it's a pure extra shuffle+deserialize round of dense states
+        tree_fanin = None
     merged = sketch_aggregate(df, [], [spec], tree_fanin=tree_fanin)
     row = merged.select("bloom_state").head()
     return bytes(row["bloom_state"])
