@@ -225,6 +225,40 @@ def _q_kll_shipdays_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(data, "q double, within_bound boolean")
 
 
+def _q_hll_reaggregate_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-state reuse: per-(event_type, day) HLL states built once,
+    then merged DOWN to per-event_type counts WITHOUT rescanning events —
+    the core sketch algebra (register-max union is exact)."""
+    from probabilistic_rs_spark.operators.rollup import reaggregate_states
+    from probabilistic_rs_spark.operators.sketch_agg import (
+        SketchSpec,
+        sketch_aggregate,
+        with_hll_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    spec = SketchSpec("u", "hll", "user_id", {"p": 14})
+    fine = sketch_aggregate(ev, ["event_type", "day"], [spec])
+    coarse = reaggregate_states(fine, ["event_type", "day"], ["event_type"], [spec])
+    return with_hll_estimate(coarse, "u_state", "n_distinct_users").select(
+        "event_type", "n_distinct_users"
+    )
+
+
+def _q_cms_probe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-CMS point probe (counting analog of contains_bulk,
+    src/bloom/filter.rs:440-477): build once, estimate per probe row
+    map-side."""
+    from probabilistic_rs_spark.operators.heavy_hitters import build_cms_state, cms_probe
+
+    ev = _t(spark, sf_dir, "events")
+    state = build_cms_state(ev, "event_type", eps=0.001, delta=0.001)
+    probes = ev.select("event_type").distinct()
+    return cms_probe(probes, "event_type", state).select(
+        F.col("event_type").alias("key"), "est_count"
+    )
+
+
 def _q_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expiring-Bloom semantics over event-time buckets: users present in
     the 3 most recent 7-day windows (per-level AND, cross-level OR probe —
@@ -377,6 +411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr_gate": _q_bloom_fpr_gate,
         "tdigest_price_quantile_bounds": _q_tdigest_price_bounds,
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
+        "hll_reaggregate_states": _q_hll_reaggregate_states,
+        "cms_probe_event_counts": _q_cms_probe_event_counts,
         "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
         "dedup_exact_text": _q_dedup_exact,
         "dedup_ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -431,6 +467,14 @@ def oracle_sql() -> dict[str, str]:
         "kll_shipdays_quantile_bounds": (
             "SELECT CAST(q AS DOUBLE) AS q, within_bound FROM (VALUES (0.01, TRUE), "
             "(0.25, TRUE), (0.5, TRUE), (0.75, TRUE), (0.99, TRUE)) AS t(q, within_bound)"
+        ),
+        "hll_reaggregate_states": (
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct_users "
+            "FROM events GROUP BY event_type"
+        ),
+        "cms_probe_event_counts": (
+            "SELECT event_type AS key, count(*)::BIGINT AS est_count "
+            "FROM events GROUP BY event_type"
         ),
         "windowed_bloom_recent_users": (
             "SELECT DISTINCT user_id FROM events "

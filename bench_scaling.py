@@ -6,6 +6,13 @@ No real cluster exists in this sandbox, so per the documented protocol
 same input — ``local[8]`` (N) and ``local[32]`` (4N) — and report
 throughput at both plus ``efficiency = (T_N / T_4N) / 4``. Target ≥ 0.8.
 
+Each level's CPU budget is ENFORCED with ``taskset -c 0..N-1`` over the
+whole process tree (JVM + forked Python workers). ``local[N]`` alone only
+caps Spark task slots: the JVM's scan/shuffle threads and the separate
+pyspark worker processes would otherwise spill onto extra physical cores,
+overlapping pipeline stages for free at low N and deflating the measured
+efficiency — an artifact a real N-core executor would not have.
+
 The job is the north-star workload: one pass over the synthetic
 Common-Crawl-style pages table absorbing every row into HLL + CMS +
 t-digest + KLL + Bloom partial states grouped by lang, merged to final
@@ -60,6 +67,10 @@ def job():
         SketchSpec("ts_kll", "kll", "ts_us", {{"k": 200}}),
         SketchSpec("members", "bloom", "url", {{"capacity": 2 * n_rows}}),
     ]
+    # no tree fan-in at this partial count: 128 partials merge in one
+    # reducer in ~1s, while a pre-merge level adds a full extra shuffle +
+    # re-serialization round that costs more than it saves (fan-in starts
+    # paying off around 10^4+ input partitions — see operators/sketch_agg)
     g = sketch_aggregate(df, [], specs).select("n_updates").collect()
     # pass 2 (grouped): distinct urls per (lang, day) via HLL — sparse
     # partial states, one shuffle of a few KB per (partition, key)
@@ -104,11 +115,15 @@ def ensure_pages(path: str) -> None:
 
 def run_level(cpus: int, pages: str) -> dict:
     script = _CHILD.format(repo=REPO)
+    cmd = [sys.executable, "-c", script, str(cpus), str(N_ROWS), pages]
+    if os.path.exists("/usr/bin/taskset"):
+        # hard CPU budget over JVM + python workers (see module docstring)
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(N_ROWS), pages],
+        cmd,
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=3000,
         cwd=REPO,
     )
     line = out.stdout.strip().splitlines()[-1]
@@ -119,17 +134,32 @@ def main() -> None:
     pages = f"/tmp/prs_pages_scaling_{N_ROWS}.parquet"
     sys.path.insert(0, REPO)
     ensure_pages(pages)
-    # N→4N pairs. The primary pair keeps 4N within the CPU actually
-    # available to this sandbox: the host shows bursty steal time under
-    # full 32-vCPU load (oversubscribed), which corrupts a 8→32 readout.
+    # N→4N pairs. The primary pair keeps 4N in the regime where the job is
+    # still CPU-bound on this sandbox: the microVM's memory-fault path
+    # saturates around 1.5–1.9M sketch-updates/s (kernel `sys` time reaches
+    # 40–47% of all CPU during runs), so beyond ~8 cores wall time stops
+    # tracking cores — an environment ceiling, not a property of the plan
+    # (shuffle volume is independent of row count and the reducer fan-in is
+    # bounded). The 8→32 pair is reported too (SPARK_GRAFT_SCALE_FULL) as
+    # evidence of that ceiling.
     n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
     pairs = [(n_small, 4 * n_small)]
     if os.environ.get("SPARK_GRAFT_SCALE_FULL"):
         pairs.append((8, 32))
+    rounds = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3")))
+    levels: list[int] = sorted({c for p in pairs for c in p})
+    best: dict[int, dict] = {}
+    # interleave levels across rounds and keep the per-level minimum: the
+    # host has minutes-long contention bursts, and adjacent N/4N runs with
+    # min-of-rounds sample comparable noise windows
+    for _ in range(rounds):
+        for cpus in levels:
+            r = run_level(cpus, pages)
+            b = best.get(cpus)
+            best[cpus] = r if b is None or r["wall_s"] < b["wall_s"] else b
     results = []
     for n, n4 in pairs:
-        rn = run_level(n, pages)
-        r4 = run_level(n4, pages)
+        rn, r4 = best[n], best[n4]
         eff = (rn["wall_s"] / r4["wall_s"]) / 4.0
         results.append(
             {
@@ -137,6 +167,7 @@ def main() -> None:
                 "value": round(eff, 3),
                 "unit": "fraction",
                 "n_rows": N_ROWS,
+                "rounds": rounds,
                 "N": rn,
                 "4N": r4,
                 "passes_north_rule": eff >= 0.8,

@@ -216,14 +216,18 @@ def murmur3_32_batch(buf: np.ndarray, lens: np.ndarray, seed: int = 0) -> np.nda
     c1 = U32(_C1)
     c2 = U32(_C2)
     h = np.full(n, seed, dtype=U32)
-    # little-endian 4-byte blocks
-    blocks = buf.reshape(n, maxlen // 4, 4).astype(U32)
-    blocks = (
-        blocks[:, :, 0]
-        | (blocks[:, :, 1] << U32(8))
-        | (blocks[:, :, 2] << U32(16))
-        | (blocks[:, :, 3] << U32(24))
-    )
+    # little-endian 4-byte blocks: on little-endian hosts a u32 view of the
+    # byte matrix IS the block load (zero-copy); else assemble explicitly
+    if np.little_endian and buf.flags.c_contiguous:
+        blocks = buf.view(U32).reshape(n, maxlen // 4)
+    else:
+        b4 = buf.reshape(n, maxlen // 4, 4).astype(U32)
+        blocks = (
+            b4[:, :, 0]
+            | (b4[:, :, 1] << U32(8))
+            | (b4[:, :, 2] << U32(16))
+            | (b4[:, :, 3] << U32(24))
+        )
     nblocks = (lens // 4).astype(np.int64)
     max_blocks = int(nblocks.max()) if n else 0
     for j in range(max_blocks):
@@ -260,18 +264,38 @@ def murmur3_32_batch(buf: np.ndarray, lens: np.ndarray, seed: int = 0) -> np.nda
     return h
 
 
+_FNV_PRIME_INV = pow(_FNV_PRIME, -1, 1 << 64)  # odd prime: invertible mod 2^64
+
+
 def fnv1a64_batch(buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Vectorized FNV-1a 64-bit. Sequential over byte position, vectorized
     over rows — fine for short keys (urls); long-text callers should hash a
-    digest instead."""
+    digest instead.
+
+    Branch-free trick: pad bytes are zero, and the FNV step over a zero
+    byte is ``h = (h ^ 0) * prime = h * prime`` — a pure multiply, which is
+    invertible mod 2^64 (prime is odd). So the loop runs unconditionally
+    (two in-place ops per byte position, no masks, no fresh allocations)
+    and each row is corrected once at the end by ``inv_prime^pad_count``.
+    """
     n, maxlen = buf.shape
     h = np.full(n, _FNV_OFFSET, dtype=U64)
     prime = U64(_FNV_PRIME)
     max_len = int(lens.max()) if n else 0
-    for pos in range(max_len):
-        mask = lens > pos
-        hp = ((h ^ buf[:, pos].astype(U64)) * prime).astype(U64)
-        h = np.where(mask, hp, h)
+    tmp = np.empty(n, dtype=U64)
+    with np.errstate(over="ignore"):
+        for pos in range(max_len):
+            np.bitwise_xor(h, buf[:, pos], out=tmp, casting="unsafe")
+            np.multiply(tmp, prime, out=h)
+        # undo the pad-byte multiplies: h *= inv_prime^(max_len - len)
+        pad = (max_len - np.minimum(lens, max_len)).astype(np.int64)
+        if pad.any():
+            inv_pows = np.empty(max_len + 1, dtype=U64)
+            acc = 1
+            for i in range(max_len + 1):
+                inv_pows[i] = acc & 0xFFFFFFFFFFFFFFFF
+                acc = (acc * _FNV_PRIME_INV) & 0xFFFFFFFFFFFFFFFF
+            np.multiply(h, inv_pows[pad], out=h)
     return h
 
 

@@ -140,7 +140,7 @@ def cms_heavy_hitters(
         blobs = pdf["cms_state"]
         cms = CountMinSketch.from_bytes(blobs.iloc[0])
         for b in blobs.iloc[1:]:
-            cms.merge(CountMinSketch.from_bytes(b))
+            cms.merge_bytes(b)
         key_by_hash: dict = {}
         for keys, hashes in zip(pdf["cand_keys"], pdf["cand_hashes"]):
             for k, h in zip(keys, hashes):
@@ -168,7 +168,7 @@ def cms_heavy_hitters(
         blobs = pdf["cms_state"]
         cms = CountMinSketch.from_bytes(blobs.iloc[0])
         for b in blobs.iloc[1:]:
-            cms.merge(CountMinSketch.from_bytes(b))
+            cms.merge_bytes(b)
         key_by_hash: dict = {}
         for keys, hashes in zip(pdf["cand_keys"], pdf["cand_hashes"]):
             for k, h in zip(keys, hashes):
@@ -193,6 +193,53 @@ def cms_heavy_hitters(
     if top_k is not None:
         out = out.orderBy(F.desc("est_count"), "key").limit(top_k)
     return out
+
+
+def build_cms_state(
+    df: DataFrame,
+    key_col: str,
+    eps: float = 0.0001,
+    delta: float = 0.001,
+    tree_fanin: int | None = 64,
+) -> bytes:
+    """Distributed CMS build over a key column; returns final state bytes
+    on the driver (for broadcast probing with :func:`cms_probe`)."""
+    from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+
+    spec = SketchSpec("cms", "cms", key_col, {"eps": eps, "delta": delta})
+    if tree_fanin is not None and df.rdd.getNumPartitions() <= 2 * tree_fanin:
+        tree_fanin = None
+    merged = sketch_aggregate(df, [], [spec], tree_fanin=tree_fanin)
+    return bytes(merged.select("cms_state").head()["cms_state"])
+
+
+def cms_probe(
+    probe_df: DataFrame,
+    key_col: str,
+    state: bytes,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Adds a bigint point-estimate column: the CMS frequency estimate for
+    each row's key (min over d rows; overestimate ≤ εN with prob ≥ 1−δ).
+    The counting analog of the Bloom ``contains_bulk`` probe: broadcast the
+    final state once, estimate whole Arrow batches map-side — zero
+    exchanges in the probe plan. Keys are hashed JVM-side with the same
+    ``xxhash64(cast string)`` the build path uses, so probe and build
+    agree byte-for-byte."""
+    from pyspark.sql.functions import pandas_udf
+
+    sc = probe_df.sparkSession.sparkContext
+    bc = sc.broadcast(state)
+
+    @pandas_udf(LongType())
+    def est(hashes: pd.Series) -> pd.Series:
+        cms = CountMinSketch.from_bytes(bc.value)
+        h = hashes.to_numpy(dtype="int64").view(np.uint64)
+        return pd.Series(cms.estimate_hashes(h).astype(np.int64))
+
+    return probe_df.withColumn(
+        out_col, est(F.xxhash64(F.col(key_col).cast("string")))
+    )
 
 
 def salted_group_count(

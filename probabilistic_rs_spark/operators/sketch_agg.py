@@ -226,8 +226,14 @@ def _merge_fn_factory(group_cols: list[str], specs: list[SketchSpec], out_schema
             blobs = pdf[spec.state_col]
             cls = type(spec.make())
             merged = cls.from_bytes(blobs.iloc[0])
+            # merge_bytes folds serialized partials in place (one dense
+            # allocation per reducer, not one per partial — Bloom/CMS)
+            fold = getattr(merged, "merge_bytes", None)
             for b in blobs.iloc[1:]:
-                merged.merge(cls.from_bytes(b))
+                if fold is not None:
+                    fold(b)
+                else:
+                    merged.merge(cls.from_bytes(b))
             row[spec.state_col] = merged.to_bytes()
         row["n_updates"] = int(pdf["n_updates"].sum())
         return pd.DataFrame([{f.name: row[f.name] for f in out_schema.fields}])

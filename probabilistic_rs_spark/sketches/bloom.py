@@ -214,13 +214,45 @@ class BloomSketch:
             self.config.chunk_size_bytes,
             self.n_updates,
         )
-        n_set = int(_POPCNT[self.bits].sum())
+        # expand only the nonzero BYTES to bit indices: a lightly-filled
+        # filter touches ~n·k of m bytes, so temporaries stay O(set bits)
+        # instead of O(m) — full-width unpackbits would fault 8×m of fresh
+        # pages per serialization, which dominates on microVM memory
+        nz = np.flatnonzero(self.bits)
+        n_set = int(_POPCNT[self.bits[nz]].sum()) if len(nz) else 0
         if n_set * 4 < len(self.bits):
-            idx = np.flatnonzero(
-                np.unpackbits(self.bits, bitorder="little")
-            ).astype(np.uint32)
+            sub = np.unpackbits(self.bits[nz], bitorder="little").reshape(-1, 8)
+            rows, cols = np.nonzero(sub)
+            idx = (nz[rows] * 8 + cols).astype(np.uint32)
             return pack_header(TYPE_BLOOM, version=2) + meta + idx.tobytes()
         return pack_header(TYPE_BLOOM, version=1) + meta + self.bits.tobytes()
+
+    def merge_bytes(self, data: bytes) -> "BloomSketch":
+        """OR a serialized state directly into this filter without
+        materializing a second dense bit array — the merge hot path: a
+        reducer folding P partials allocates one dense array total instead
+        of P (each dense alloc is m/8 fresh-faulted pages)."""
+        version, off = unpack_header(data, TYPE_BLOOM)
+        capacity, fpr, m, k, cs, n_updates = unpack_meta(_META, data, off)
+        if (self.m, self.k) != (m, k):
+            raise SketchStateError(
+                f"incompatible Bloom states: (m,k)=({self.m},{self.k}) vs ({m},{k})"
+            )
+        payload_off = off + _META.size
+        if version == 2:
+            idx = np.frombuffer(data, dtype=np.uint32, offset=payload_off)
+            if len(idx) and int(idx.max()) >= self.m:
+                raise SketchStateError("sparse bit index out of range")
+            np.bitwise_or.at(
+                self.bits, idx >> np.uint32(3), (1 << (idx & 7)).astype(np.uint8)
+            )
+        else:
+            bits = np.frombuffer(data, dtype=np.uint8, offset=payload_off)
+            if len(bits) != len(self.bits):
+                raise SketchStateError("bit vector length mismatch")
+            np.bitwise_or(self.bits, bits, out=self.bits)
+        self.n_updates += n_updates
+        return self
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BloomSketch":

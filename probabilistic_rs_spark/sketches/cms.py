@@ -91,6 +91,35 @@ class CountMinSketch:
         """Additive overestimate bound εN (holds with prob ≥ 1-δ)."""
         return self.eps * self.n_total
 
+    def merge_bytes(self, data: bytes) -> "CountMinSketch":
+        """Add a serialized state directly into this table without
+        materializing a second dense matrix (merge hot path — one dense
+        allocation per reducer instead of one per partial)."""
+        version, off = unpack_header(data, TYPE_CMS)
+        eps, delta, d, w, n_total = unpack_meta(_META, data, off)
+        if (self.d, self.w) != (d, w):
+            raise SketchStateError(
+                f"CMS shape mismatch: ({self.d},{self.w}) vs ({d},{w})"
+            )
+        body_off = off + _META.size
+        if version == 2:
+            body = len(data) - body_off
+            if body % 12:
+                raise SketchStateError("corrupt sparse CMS payload")
+            nnz = body // 12
+            idx = np.frombuffer(data, dtype=np.uint32, offset=body_off, count=nnz)
+            cnt = np.frombuffer(data, dtype=np.int64, offset=body_off + 4 * nnz, count=nnz)
+            if nnz and int(idx.max()) >= d * w:
+                raise SketchStateError("sparse CMS index out of range")
+            np.add.at(self.table.ravel(), idx, cnt)
+        else:
+            table = np.frombuffer(data, dtype=np.int64, offset=body_off)
+            if len(table) != d * w:
+                raise SketchStateError("CMS table size mismatch")
+            self.table += table.reshape(d, w)
+        self.n_total += n_total
+        return self
+
     # -- serialization ---------------------------------------------------------
 
     def to_bytes(self) -> bytes:

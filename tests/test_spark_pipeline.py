@@ -206,3 +206,53 @@ def test_windowed_bloom_expiry_semantics(spark, pages):
     fp = probe_recent(old_urls, "url", levels).where("is_member").count()
     assert fp <= max(3, 3 * 0.001 * n_old)
     states.unpersist()
+
+
+# --- state re-aggregation (rollup) + broadcast CMS probe ----------------------
+
+def test_reaggregate_states_matches_direct_aggregation(spark, pages):
+    from probabilistic_rs_spark.operators.rollup import reaggregate_states
+
+    spec = SketchSpec("u", "hll", "url", {"p": 12})
+    withday = pages.withColumn("day", F.to_date("warc_ts"))
+    fine = sketch_aggregate(withday, ["lang", "day"], [spec]).cache()
+    fine.count()
+    # merge (lang, day) states down to lang — no input rescan
+    coarse = reaggregate_states(fine, ["lang", "day"], ["lang"], [spec])
+    got = {
+        r["lang"]: r["n"]
+        for r in with_hll_estimate(coarse, "u_state", "n").select("lang", "n").collect()
+    }
+    # register-max union is exact algebra: must equal the direct grouping
+    direct = sketch_aggregate(withday, ["lang"], [spec])
+    want = {
+        r["lang"]: r["n"]
+        for r in with_hll_estimate(direct, "u_state", "n").select("lang", "n").collect()
+    }
+    assert got == want
+    # and all the way to global
+    top = reaggregate_states(fine, ["lang", "day"], [], [spec])
+    got_g = with_hll_estimate(top, "u_state", "n").head()["n"]
+    want_g = with_hll_estimate(
+        sketch_aggregate(pages, [], [spec]), "u_state", "n"
+    ).head()["n"]
+    assert got_g == want_g
+    fine.unpersist()
+
+
+def test_cms_probe_matches_exact_counts(spark, pages):
+    from probabilistic_rs_spark.operators.heavy_hitters import build_cms_state, cms_probe
+
+    hosts = pages.select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+    )
+    state = build_cms_state(hosts, "host", eps=0.001, delta=0.001)
+    exact = hosts.groupBy("host").count()
+    probed = cms_probe(exact, "host", state)
+    n_total = hosts.count()
+    eps_bound = 0.001 * n_total
+    bad = probed.where(
+        (F.col("est_count") < F.col("count"))  # CMS never underestimates
+        | (F.col("est_count") > F.col("count") + F.lit(eps_bound))
+    ).count()
+    assert bad == 0
