@@ -53,8 +53,9 @@ spark.sparkContext.setLogLevel("ERROR")
 from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
 
 def job():
-    # pass 1 (global): heavy hitters + quantiles + membership — the CMS /
-    # t-digest / KLL / Bloom north-star queries in one scan, tree-merged
+    # the north-star workload in ONE scan: every row absorbed into all
+    # five structures (HLL distinct urls, CMS heavy-hitter hosts, t-digest
+    # text-length quantiles, KLL timestamp quantiles, Bloom membership)
     df = spark.read.parquet(pages).select(
         "url",
         F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
@@ -62,6 +63,7 @@ def job():
         F.unix_micros(F.col("warc_ts").cast("timestamp")).cast("double").alias("ts_us"),
     )
     specs = [
+        SketchSpec("u", "hll", "url", {{"p": 14}}),
         SketchSpec("hosts", "cms", "host", {{"eps": 0.0001, "delta": 0.001}}),
         SketchSpec("len_td", "tdigest", "text_len", {{"delta": 200.0}}),
         SketchSpec("ts_kll", "kll", "ts_us", {{"k": 200}}),
@@ -71,26 +73,26 @@ def job():
     # reducer in ~1s, while a pre-merge level adds a full extra shuffle +
     # re-serialization round that costs more than it saves (fan-in starts
     # paying off around 10^4+ input partitions — see operators/sketch_agg)
-    g = sketch_aggregate(df, [], specs).select("n_updates").collect()
-    # pass 2 (grouped): distinct urls per (lang, day) via HLL — sparse
-    # partial states, one shuffle of a few KB per (partition, key)
-    df2 = spark.read.parquet(pages).select(
-        "lang", F.to_date("warc_ts").alias("day"), "url"
-    )
-    h = (
-        sketch_aggregate(df2, ["lang", "day"], [SketchSpec("u", "hll", "url", {{"p": 14}})])
-        .select("n_updates").collect()
-    )
-    return 4 * sum(r["n_updates"] for r in g) + sum(r["n_updates"] for r in h)
+    from probabilistic_rs_spark.operators.sketch_agg import with_hll_estimate, with_quantiles
+    g = sketch_aggregate(df, [], specs)
+    g = with_hll_estimate(g, "u_state", "n_urls")
+    g = with_quantiles(g, "len_td_state", "tdigest", [0.01, 0.5, 0.99], "len_q")
+    g = with_quantiles(g, "ts_kll_state", "kll", [0.01, 0.5, 0.99], "ts_q")
+    row = g.select("n_updates", "n_urls", "len_q", "ts_q").head()
+    digest = (int(row["n_urls"]),
+              [round(float(x), 6) for x in row["len_q"]],
+              [round(float(x), 6) for x in row["ts_q"]])
+    return 5 * int(row["n_updates"]), digest
 
 job()  # warm: JVM JIT, python workers, page cache
-best, updates = None, 0
+best, updates, digest = None, 0, None
 for _ in range(2):
-    t0 = time.perf_counter(); updates = job(); dt = time.perf_counter() - t0
+    t0 = time.perf_counter(); (updates, digest) = job(); dt = time.perf_counter() - t0
     best = dt if best is None or dt < best else best
 print(json.dumps({{"cpus": cpus, "wall_s": round(best, 3),
     "rows": n_rows, "sketch_updates": int(updates),
-    "updates_per_sec": round(updates / best, 1)}}))
+    "updates_per_sec": round(updates / best, 1),
+    "estimates_digest": repr(digest)}}))
 spark.stop()
 """
 
@@ -170,6 +172,10 @@ def main() -> None:
                 "rounds": rounds,
                 "N": rn,
                 "4N": r4,
+                # merge-order invariance: the same estimates must come out
+                # at every parallelism level (north_rule)
+                "identical_estimates": rn.get("estimates_digest")
+                == r4.get("estimates_digest"),
                 "passes_north_rule": eff >= 0.8,
             }
         )
