@@ -140,9 +140,12 @@ def _q_bloom_members_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
-    n = orders.select("o_custkey").distinct().count()
+    # capacity from the shuffle-free row count: Bloom only needs a
+    # capacity >= n_distinct, so the cheap upper bound replaces a full
+    # distinct().count() scan+shuffle of the build table
+    n = orders.count()
     state = build_bloom_state(
-        orders, "o_custkey", capacity=max(1000, 2 * n), false_positive_rate=0.00001
+        orders, "o_custkey", capacity=max(1000, n), false_positive_rate=0.00001
     )
     probes = customer.select(F.col("c_custkey").alias("custkey")).union(
         customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
@@ -166,7 +169,9 @@ def _q_bloom_fpr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = _t(spark, sf_dir, "orders")
     target = 0.05
-    n = orders.select("o_orderkey").distinct().count()
+    # o_orderkey is the table's key: row count == distinct count, and
+    # count() is shuffle-free where distinct().count() is a full shuffle
+    n = orders.count()
     state = build_bloom_state(
         orders, "o_orderkey", capacity=2 * n, false_positive_rate=target
     )
@@ -182,6 +187,34 @@ def _q_bloom_fpr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(fn_count == 0, bool(fpr <= 3.0 * target))],
         "no_false_negatives boolean, fpr_ok boolean",
+    )
+
+
+def _q_bloom_semi_filter_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-semi-join pre-filter (the Bloom filter's whole purpose
+    at 100 TB, SURVEY.md §2.7): lineitem rows are pre-filtered map-side by
+    a broadcast Bloom over urgent orders' keys BEFORE the exact semi-join;
+    the exact join removes the ≤FPR false positives, so the output is
+    exact while the join's shuffle input shrinks by ~the selectivity."""
+    from probabilistic_rs_spark.operators.membership import (
+        bloom_semi_filter,
+        build_bloom_state,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    state = build_bloom_state(
+        urgent, "o_orderkey", capacity=max(1000, urgent.count()), false_positive_rate=0.001
+    )
+    pre = bloom_semi_filter(li, "l_orderkey", state)
+    exact = pre.join(
+        F.broadcast(urgent.select("o_orderkey")),
+        pre["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("l_quantity").alias("sum_qty")
     )
 
 
@@ -409,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_exact_supplier_counts": _q_salted_exact_supplier_counts,
         "bloom_members_custkey": _q_bloom_members_custkey,
         "bloom_fpr_gate": _q_bloom_fpr_gate,
+        "bloom_semi_filter_urgent": _q_bloom_semi_filter_urgent,
         "tdigest_price_quantile_bounds": _q_tdigest_price_bounds,
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
         "hll_reaggregate_states": _q_hll_reaggregate_states,
@@ -459,6 +493,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bloom_fpr_gate": (
             "SELECT TRUE AS no_false_negatives, TRUE AS fpr_ok"
+        ),
+        "bloom_semi_filter_urgent": (
+            "SELECT l_returnflag, count(*)::BIGINT AS n_rows, sum(l_quantity) AS sum_qty "
+            "FROM lineitem WHERE l_orderkey IN "
+            "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "
+            "GROUP BY l_returnflag"
         ),
         "tdigest_price_quantile_bounds": (
             "SELECT CAST(q AS DOUBLE) AS q, within_bound FROM (VALUES (0.01, TRUE), "

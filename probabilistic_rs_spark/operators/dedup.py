@@ -29,10 +29,12 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from probabilistic_rs_spark.functions.hashing import splitmix64
@@ -84,6 +86,56 @@ def with_shingles(
     return df.withColumn(out_col, F.array_distinct(sh))
 
 
+def jaccard_candidate_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    threshold: float = 0.5,
+    prefix_filter: bool = True,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """The inverted (doc, shingle) index used for Jaccard candidate
+    generation, exposed for plan/size introspection. Returns
+    ``(__id, __sh)``.
+
+    ``prefix_filter=True`` (default) applies the PPJoin/All-Pairs prefix
+    filter (Bayardo et al., WWW'07; Xiao et al., WWW'08): shingles are
+    globally ordered rarest-first by corpus frequency, and each doc
+    indexes only its first ``|s| - ceil(t·|s|) + 1`` shingles in that
+    order. EXACT: J(a,b) ≥ t implies |a∩b| ≥ t·|a| (and ≥ t·|b|), so a
+    qualifying pair must share a shingle inside both prefixes. This is
+    what makes the self-join linear under skew — a stop-shingle ("of
+    the") that appears in every doc sorts last and lands in almost no
+    prefix, so it never drives the quadratic join blowup.
+
+    ``max_shingle_freq``: additionally drop shingles occurring in more
+    than this many docs from the index — a RECALL CONTRACT, not exact: a
+    pair whose every common shingle is capped is missed. Use only when
+    the corpus has adversarial near-universal shingles and approximate
+    recall is acceptable.
+    """
+    sh = with_shingles(df, text_col, n).select(
+        F.col(id_col).alias("__id"), "shingles", F.size("shingles").alias("__sz")
+    )
+    inv = sh.select("__id", "__sz", F.explode("shingles").alias("__sh"))
+    if not prefix_filter and max_shingle_freq is None:
+        return inv.select("__id", "__sh")
+    freq = inv.groupBy("__sh").agg(F.count("*").alias("__freq"))
+    if max_shingle_freq is not None:
+        freq = freq.where(F.col("__freq") <= max_shingle_freq)
+        inv = inv.join(freq, "__sh")  # inner join drops capped shingles
+    else:
+        inv = inv.join(freq, "__sh")
+    if prefix_filter:
+        w = Window.partitionBy("__id").orderBy("__freq", "__sh")
+        prefix_len = F.col("__sz") - F.ceil(F.col("__sz") * F.lit(float(threshold))) + 1
+        inv = inv.withColumn("__rn", F.row_number().over(w)).where(
+            F.col("__rn") <= prefix_len
+        )
+    return inv.select("__id", "__sh")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -91,39 +143,43 @@ def ngram_jaccard_pairs(
     n: int = 2,
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard ≥ threshold via inverted shingle
-    index. Returns ``(id_a, id_b, jaccard double)`` with id_a < id_b.
+    """Exact all-pairs n-gram Jaccard ≥ threshold. Returns
+    ``(id_a, id_b, jaccard double)`` with id_a < id_b.
 
-    Plan: explode shingles → self-join on shingle (co-partitioned hash
-    join) → count common shingles per pair → Jaccard from per-doc set
-    sizes. The pair table only materializes pairs sharing ≥1 shingle.
+    Plan: prefix-filtered inverted index (see
+    :func:`jaccard_candidate_index`) → self-join on shingle for candidate
+    pairs → exact verify on the full shingle sets (array_intersect /
+    array_union — JVM-side). Candidates are generated only from prefix
+    collisions, so the join stays linear even when one shingle occurs in
+    every document; the verify step computes the true Jaccard, so the
+    output equals the brute-force result exactly (prefix-filter
+    guarantee).
     """
-    sh = with_shingles(df, text_col, n).select(
-        F.col(id_col).alias("__id"), "shingles", F.size("shingles").alias("__sz")
+    index = jaccard_candidate_index(
+        df, id_col, text_col, n, threshold, prefix_filter, max_shingle_freq
     )
-    inv = sh.select("__id", "__sz", F.explode("shingles").alias("__sh"))
-    if max_shingle_freq is not None:
-        freq = inv.groupBy("__sh").count().where(F.col("count") <= max_shingle_freq)
-        inv = inv.join(F.broadcast(freq.select("__sh")), "__sh")
-    a = inv.select(
-        F.col("__id").alias("id_a"), F.col("__sz").alias("sz_a"), "__sh"
-    )
-    b = inv.select(
-        F.col("__id").alias("id_b"), F.col("__sz").alias("sz_b"), "__sh"
-    )
-    pairs = (
+    a = index.select(F.col("__id").alias("id_a"), "__sh")
+    b = index.select(F.col("__id").alias("id_b"), "__sh")
+    cand = (
         a.join(b, "__sh")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("__common"), F.first("sz_a").alias("sz_a"), F.first("sz_b").alias("sz_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = with_shingles(df, text_col, n).select(F.col(id_col).alias("__id"), "shingles")
+    verified = (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("shingles").alias("__sa")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("shingles").alias("__sb")), "id_b")
         .withColumn(
             "jaccard",
-            F.col("__common") / (F.col("sz_a") + F.col("sz_b") - F.col("__common")),
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.size(F.array_union("__sa", "__sb")),
         )
         .where(F.col("jaccard") >= F.lit(threshold))
     )
-    return pairs.select("id_a", "id_b", "jaccard")
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -154,17 +210,37 @@ def minhash_signatures(
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig_udf(hashes: pd.Series) -> pd.Series:
+        # fully batch-vectorized: flatten every doc's shingle hashes into
+        # one array, mix once, then per-doc mins via np.minimum.reduceat —
+        # one numpy kernel per (sub-)batch instead of one per doc. Chunked
+        # so the (flat_len × num_perm) temporary stays ≤ ~64 MB.
         perms = splitmix64(np.arange(num_perm_, dtype=U64) + U64(seed_ * 0x9E3779B9))
-        out = []
-        for hs in hashes:
-            if hs is None or len(hs) == 0:
-                out.append([0] * num_perm_)
-                continue
-            h = np.asarray(hs, dtype=np.int64).view(U64)
+        n_docs = len(hashes)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n_docs
+        )
+        out = np.zeros((n_docs, num_perm_), dtype=U64)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty):
+            flat = np.concatenate(
+                [np.asarray(hashes.iloc[i], dtype=np.int64) for i in nonempty]
+            ).view(U64)
+            offs = np.concatenate(([0], np.cumsum(lens[nonempty])))
+            max_elems = 8_000_000 // max(1, num_perm_)  # flat rows per chunk
+            start = 0
             with np.errstate(over="ignore"):
-                m = splitmix64(h[:, None] ^ perms[None, :]).min(axis=0)
-            out.append(m.view(np.int64).tolist())
-        return pd.Series(out)
+                while start < len(nonempty):
+                    end = start + 1
+                    while end < len(nonempty) and offs[end + 1] - offs[start] <= max_elems:
+                        end += 1
+                    seg = flat[offs[start] : offs[end]]
+                    mixed = splitmix64(seg[:, None] ^ perms[None, :])
+                    cuts = (offs[start:end] - offs[start]).astype(np.int64)
+                    out[nonempty[start:end]] = np.minimum.reduceat(mixed, cuts, axis=0)
+                    start = end
+        return pd.Series(out.view(np.int64).tolist())
 
     return base.withColumn("sig", sig_udf("__h")).drop("__h")
 
@@ -313,36 +389,120 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def cosine_lsh_params(
+    threshold: float,
+    planes: int | str = "auto",
+    tables: int | str = "auto",
+    miss_tol: float = 1e-4,
+    max_tables: int = 16,
+) -> tuple[int, int]:
+    """Derive (planes, tables) for multi-table random-hyperplane LSH with
+    Hamming-1 multiprobe from the target cosine threshold.
+
+    Per-plane sign-agreement probability at similarity s is
+    ``q = 1 - arccos(s)/π`` (Charikar, STOC'02). With p planes and probing
+    the exact bucket plus all p Hamming-1 flips, a qualifying pair hits a
+    table with prob ``h = q^p + p·q^(p-1)·(1-q)``; T independent tables
+    miss it with prob ``(1-h)^T``. ``planes="auto"`` picks the largest p
+    (finest buckets → fewest candidates) whose required table count for
+    ``miss_tol`` stays ≤ ``max_tables``; ``tables="auto"`` then solves
+    ``T = ceil(ln miss_tol / ln(1-h))``. Higher thresholds get more
+    planes automatically (q → 1), which is where LSH earns its keep; low
+    thresholds degrade gracefully toward coarse buckets rather than
+    toward a cross join.
+    """
+    s = min(max(float(threshold), -1.0), 1.0)
+    q = 1.0 - math.acos(s) / math.pi
+
+    def hit(p: int) -> float:
+        return q**p + p * (q ** (p - 1)) * (1.0 - q)
+
+    if planes in (None, "auto"):
+        planes = 4
+        for p in range(4, 25):
+            h = hit(p)
+            if h >= 1.0:
+                planes = p
+                continue
+            if math.log(miss_tol) / math.log(1.0 - h) <= max_tables:
+                planes = p
+            else:
+                break
+    planes = int(planes)
+    if tables in (None, "auto"):
+        h = min(1.0 - 1e-12, hit(planes))
+        tables = max(1, math.ceil(math.log(miss_tol) / math.log(1.0 - h)))
+    return planes, int(tables)
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.4,
-    planes: int | None = None,
+    planes: int | str = "auto",
+    tables: int | str = "auto",
     seed: int = 42,
+    miss_tol: float = 1e-4,
+    exact: bool = False,
 ) -> DataFrame:
-    """Pairs of rows with cosine similarity ≥ threshold.
+    """Pairs of rows with cosine similarity ≥ threshold, as
+    ``(id_a, id_b, cosine double)``.
 
-    ``planes=None``: exact all-pairs (self-join + JVM dot product) — the
-    verify kernel, fine up to ~10⁵ rows per group. With ``planes=p``:
-    random-hyperplane LSH prefilter — rows are bucketed by the p-bit sign
-    pattern of projections (collision prob (1-θ/π)^p), candidates verified
-    exactly; the scale path. Returns ``(id_a, id_b, cosine double)``.
+    Default path (the scale path): multi-table random-hyperplane LSH with
+    Hamming-1 multiprobe — every row gets one sign-pattern bucket per
+    table (one matmul per Arrow batch), candidates come from equi-join
+    bucket collisions only (id-only rows cross the shuffle), and each
+    candidate pair is verified with the exact JVM-side dot product. No
+    ``crossJoin`` anywhere in the plan. (planes, tables) derive from the
+    threshold via :func:`cosine_lsh_params`; expected recall ≥
+    ``1 - miss_tol`` per qualifying pair at the threshold (higher above
+    it), and precision is exactly 1.0 thanks to the verify step.
+
+    ``exact=True``: the all-pairs verify kernel (self-join + dot product)
+    — a deliberate opt-in for oracle cross-checks and ≲10⁵-row groups
+    only; it is quadratic by construction.
     """
     norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x * x))
     base = df.select(
         F.col(id_col).alias("__id"),
         F.transform(vec_col, lambda x: x / norm).alias("__v"),
     )
-    if planes:
-        base = _with_hyperplane_bucket(base, "__v", planes, seed)
-        a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), "__bkt")
-        b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), "__bkt")
-        cand = a.join(b, "__bkt").where(F.col("id_a") < F.col("id_b"))
-    else:
+    if exact:
         a = base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
         b = base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
         cand = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    else:
+        p, t = cosine_lsh_params(threshold, planes, tables, miss_tol)
+        bucketed = _with_hyperplane_buckets(base, "__v", p, t, seed)
+        tb = bucketed.select(
+            "__id", F.posexplode("__bkts").alias("__t", "__bkt")
+        )
+        # multiprobe: the left side probes its own bucket plus every
+        # Hamming-1 flip, so a pair differing in at most one plane of a
+        # table still collides — an equi-join on (table, bucket) either way
+        probes = F.array(
+            F.col("__bkt"),
+            *[
+                F.col("__bkt").bitwiseXOR(F.lit(1 << j).cast("long"))
+                for j in range(p)
+            ],
+        )
+        a = tb.select(
+            F.col("__id").alias("id_a"), "__t", F.explode(probes).alias("__bkt")
+        )
+        b = tb.select(F.col("__id").alias("id_b"), "__t", "__bkt")
+        ids = (
+            a.join(b, ["__t", "__bkt"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        cand = ids.join(
+            base.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va")), "id_a"
+        ).join(
+            base.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb")), "id_b"
+        )
     cos = F.aggregate(
         F.zip_with("__va", "__vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
@@ -353,19 +513,25 @@ def embedding_cosine_pairs(
     )
 
 
-def _with_hyperplane_bucket(df: DataFrame, vec_col: str, planes: int, seed: int) -> DataFrame:
-    """Adds ``__bkt``: sign-pattern bucket of ``planes`` random hyperplane
-    projections (vectorized numpy, one matmul per Arrow batch)."""
-    planes_, seed_ = int(planes), int(seed)
+def _with_hyperplane_buckets(
+    df: DataFrame, vec_col: str, planes: int, tables: int, seed: int
+) -> DataFrame:
+    """Adds ``__bkts: array<long>`` — one sign-pattern bucket per table
+    from ``tables × planes`` random hyperplanes (a single matmul per
+    Arrow batch, reshaped per table)."""
+    planes_, tables_, seed_ = int(planes), int(tables), int(seed)
 
-    @F.pandas_udf(LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
+    @F.pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
         dim = len(vecs.iloc[0])
         rng = np.random.default_rng(seed_)
-        H = rng.standard_normal((dim, planes_))
+        H = rng.standard_normal((dim, tables_ * planes_))
         M = np.stack(vecs.map(np.asarray).to_numpy())
         signs = (M @ H) > 0
-        weights = (1 << np.arange(planes_, dtype=np.int64))
-        return pd.Series(signs @ weights)
+        weights = 1 << np.arange(planes_, dtype=np.int64)
+        bkts = signs.reshape(len(M), tables_, planes_) @ weights
+        return pd.Series(bkts.tolist())
 
-    return df.withColumn("__bkt", bucket(F.col(vec_col)))
+    return df.withColumn("__bkts", buckets(F.col(vec_col)))

@@ -6,9 +6,12 @@ Zipf-skewed key column. The classic Spark failure mode is
 operator never shuffles by the key at all:
 
 * per input partition (mapInArrow): one CMS absorbing every key occurrence
-  (vectorized: ``np.unique`` + weighted counter scatter), plus the
-  partition-local exact top-C candidates — a salted pre-aggregation where
-  the "salt" is the physical partition id.
+  (vectorized: ``np.unique`` + weighted counter scatter), plus a BOUNDED
+  Misra–Gries candidate tracker (:class:`BoundedCandidateTracker`) — a
+  salted pre-aggregation where the "salt" is the physical partition id.
+  Candidate memory is O(candidates_per_partition) regardless of key
+  cardinality: at 100 TB a partition can see 10⁸ distinct urls without
+  the tracker growing past ``4 × candidates_per_partition`` entries.
 * one shuffle of (CMS state + candidate list) rows — size independent of
   both row count and key skew.
 * final merge: CMS matrix-add, candidate-union, estimate = min-over-rows
@@ -18,10 +21,11 @@ A true heavy hitter (count ≥ N·φ) is guaranteed to be a local top
 candidate in at least one partition when C is sized generously, since its
 global share implies a matching local share in some partition.
 
-Also provided: ``salted_group_count`` — the exact two-stage
-``groupBy(key, salt) → groupBy(key)`` pre-aggregation pattern with Spark
-built-ins, for when exact counts are required on skewed keys through
-operators that lack partial aggregation (e.g. ``applyInPandas``).
+Also provided: ``exact_group_count`` (plain built-in — already skew-safe
+for counts via Spark's map-side partial aggregation) and
+``salted_apply_in_pandas_agg`` — the salted two-stage pattern where it is
+genuinely load-bearing: custom ``applyInPandas`` states have no partial
+aggregation, so a hot key must be split across reducers by salt.
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -60,6 +65,65 @@ _FINAL_SCHEMA = StructType(
         StructField("est_count", LongType(), False),
     ]
 )
+
+
+class BoundedCandidateTracker:
+    """Misra–Gries-style bounded heavy-hitter candidate tracker.
+
+    Memory is O(prune_factor × capacity) keys at any input cardinality —
+    the partition-local candidate set never grows with the number of
+    distinct keys seen (the reference's bounded-state ethos,
+    ``src/bloom/filter.rs`` word-packed state, applied to candidates).
+
+    When the tracked set exceeds ``prune_factor × capacity``, every
+    counter is decremented by the (capacity+1)-th largest count and
+    non-positive entries are dropped — at most ``capacity`` survive.
+    Standard MG guarantee: a key with true partition count
+    > total/(capacity) can never be fully decremented away, so every
+    genuine partition-local heavy hitter survives to the final merge.
+    Counts are MG lower bounds used only for candidate *ranking*; the
+    reported estimate always comes from the CMS.
+    """
+
+    __slots__ = ("capacity", "limit", "counts")
+
+    def __init__(self, capacity: int, prune_factor: int = 4):
+        self.capacity = int(capacity)
+        self.limit = int(prune_factor) * self.capacity
+        self.counts: dict = {}  # hash -> [count, key]
+
+    def add_unique(self, hashes, counts, keys, first_idx) -> None:
+        """Absorb one batch's np.unique output (unique hashes + their
+        counts + the key string of each hash's first occurrence)."""
+        c_ = self.counts
+        for h, fi, c in zip(hashes.tolist(), first_idx.tolist(), counts.tolist()):
+            ent = c_.get(h)
+            if ent is None:
+                c_[h] = [c, keys[fi]]
+            else:
+                ent[0] += c
+        if len(c_) > self.limit:
+            self._prune()
+
+    def _prune(self) -> None:
+        vals = np.fromiter(
+            (e[0] for e in self.counts.values()), dtype=np.int64, count=len(self.counts)
+        )
+        # (capacity+1)-th largest count: at most `capacity` entries are
+        # strictly greater, so the survivor set is bounded by construction
+        delta = int(np.partition(vals, -self.capacity - 1)[-self.capacity - 1])
+        self.counts = {
+            h: [c - delta, k] for h, (c, k) in self.counts.items() if c > delta
+        }
+
+    def __len__(self) -> int:
+        return len(self.counts)
+
+    def top(self) -> list[tuple[int, list]]:
+        """Top-``capacity`` candidates by (count desc, hash) — stable."""
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+            : self.capacity
+        ]
 
 
 def cms_heavy_hitters(
@@ -94,7 +158,7 @@ def cms_heavy_hitters(
 
         pid = TaskContext.get().partitionId() if TaskContext.get() else 0
         cms = CountMinSketch(eps=eps_, delta=delta_)
-        counts: dict = {}  # hash -> [count, key]
+        tracker = BoundedCandidateTracker(cpp)
         n = 0
         for batch in batches:
             if batch.num_rows == 0:
@@ -108,15 +172,10 @@ def cms_heavy_hitters(
                 hashes, return_index=True, return_counts=True
             )
             cms.update_hashes(uh, ucnt)
-            for h, fi, c in zip(uh.tolist(), first_idx.tolist(), ucnt.tolist()):
-                ent = counts.get(h)
-                if ent is None:
-                    counts[h] = [c, keys[fi]]
-                else:
-                    ent[0] += c
+            tracker.add_unique(uh, ucnt, keys, first_idx)
         if n == 0:
             return
-        top = sorted(counts.items(), key=lambda kv: (-kv[1][0], kv[0]))[:cpp]
+        top = tracker.top()
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array([pid], type=pa.int32()),
@@ -200,17 +259,50 @@ def build_cms_state(
     key_col: str,
     eps: float = 0.0001,
     delta: float = 0.001,
-    tree_fanin: int | None = 64,
+    tree_fanin: int | str | None = "auto",
 ) -> bytes:
     """Distributed CMS build over a key column; returns final state bytes
-    on the driver (for broadcast probing with :func:`cms_probe`)."""
-    from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+    on the driver (for broadcast probing with :func:`cms_probe`).
+
+    ``tree_fanin="auto"`` (default) enables a pre-merge level only when
+    the input partition count makes it pay off; pass an explicit int to
+    force one (always honored), or ``None`` to disable."""
+    from probabilistic_rs_spark.operators.sketch_agg import (
+        SketchSpec,
+        resolve_tree_fanin,
+        sketch_aggregate,
+    )
 
     spec = SketchSpec("cms", "cms", key_col, {"eps": eps, "delta": delta})
-    if tree_fanin is not None and df.rdd.getNumPartitions() <= 2 * tree_fanin:
-        tree_fanin = None
-    merged = sketch_aggregate(df, [], [spec], tree_fanin=tree_fanin)
+    merged = sketch_aggregate(df, [], [spec], tree_fanin=resolve_tree_fanin(df, tree_fanin))
     return bytes(merged.select("cms_state").head()["cms_state"])
+
+
+# driver-side broadcast reuse: repeated probes against the same state
+# share one broadcast instead of leaking a new one per call
+_PROBE_BROADCASTS: dict[tuple, object] = {}
+# executor-side cache: deserialize a broadcast CMS once per worker, not
+# once per Arrow batch (same pattern as membership._FILTER_CACHE)
+_CMS_CACHE: dict[str, CountMinSketch] = {}
+
+
+def _cms_broadcast(sc, state: bytes):
+    import hashlib
+
+    key = hashlib.sha1(state).hexdigest()
+    memo_key = (sc.applicationId, key)
+    bc = _PROBE_BROADCASTS.get(memo_key)
+    if bc is None:
+        if len(_PROBE_BROADCASTS) > 32:
+            for _, old in _PROBE_BROADCASTS.values():
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            _PROBE_BROADCASTS.clear()
+        bc = sc.broadcast(state)
+        _PROBE_BROADCASTS[memo_key] = (key, bc)
+    return _PROBE_BROADCASTS[memo_key]
 
 
 def cms_probe(
@@ -225,15 +317,21 @@ def cms_probe(
     final state once, estimate whole Arrow batches map-side — zero
     exchanges in the probe plan. Keys are hashed JVM-side with the same
     ``xxhash64(cast string)`` the build path uses, so probe and build
-    agree byte-for-byte."""
+    agree byte-for-byte. Repeated probes against the same state reuse one
+    driver broadcast and a per-worker deserialized-CMS cache."""
     from pyspark.sql.functions import pandas_udf
 
     sc = probe_df.sparkSession.sparkContext
-    bc = sc.broadcast(state)
+    key, bc = _cms_broadcast(sc, state)
 
     @pandas_udf(LongType())
     def est(hashes: pd.Series) -> pd.Series:
-        cms = CountMinSketch.from_bytes(bc.value)
+        cms = _CMS_CACHE.get(key)
+        if cms is None:
+            cms = CountMinSketch.from_bytes(bc.value)
+            if len(_CMS_CACHE) > 8:
+                _CMS_CACHE.clear()
+            _CMS_CACHE[key] = cms
         h = hashes.to_numpy(dtype="int64").view(np.uint64)
         return pd.Series(cms.estimate_hashes(h).astype(np.int64))
 
@@ -242,16 +340,68 @@ def cms_probe(
     )
 
 
+def exact_group_count(df: DataFrame, key_col: str) -> DataFrame:
+    """Exact per-key counts via the plain built-in aggregate. This is
+    already skew-safe for counts: Spark's hash aggregate does map-side
+    partial aggregation, so a hot key ships one partial row per map task —
+    never its raw rows — to the reducer. No salt needed. Returns
+    (key, cnt)."""
+    return (
+        df.select(F.col(key_col).cast("string").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
 def salted_group_count(
     df: DataFrame, key_col: str, n_salts: int = 16
 ) -> DataFrame:
-    """Exact skew-safe counting: two-stage aggregation
-    ``groupBy(key, salt) → groupBy(key)``. The salt splits a hot key's rows
-    across ``n_salts`` reducers before the final (tiny) re-aggregation.
-    Returns (key, cnt)."""
+    """Exact counts (key, cnt), kept for API parity — delegates to
+    :func:`exact_group_count`. A salted two-stage ``groupBy(key, salt) →
+    groupBy(key)`` adds a second shuffle that built-in counts never need
+    (partial aggregation already bounds per-reducer input); salting is
+    load-bearing only for aggregations with NO partial-agg support, i.e.
+    ``applyInPandas`` custom states — see :func:`salted_apply_in_pandas_agg`
+    for that pattern."""
+    return exact_group_count(df, key_col)
+
+
+def salted_apply_in_pandas_agg(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_salts: int = 16,
+) -> DataFrame:
+    """The salted pattern where it IS load-bearing: ``applyInPandas`` has
+    no map-side partial aggregation, so a hot key would funnel all its raw
+    rows to one reducer task. Stage 1 groups by (key, salt) — a hot key's
+    rows split across ``n_salts`` tasks, each folding its slice into a
+    partial (here: sum + count); stage 2 re-aggregates the tiny partial
+    rows by key. Returns (key, total double, cnt long). The same shape
+    carries any mergeable custom state (a sketch, a reservoir)."""
+    out1 = StructType(
+        [
+            StructField("key", StringType(), False),
+            StructField("total", DoubleType(), False),
+            StructField("cnt", LongType(), False),
+        ]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "total": [float(pdf["val"].sum())],
+                "cnt": [int(len(pdf))],
+            }
+        )
+
     salted = df.select(
         F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("val"),
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias("__salt"),
     )
-    stage1 = salted.groupBy("key", "__salt").agg(F.count(F.lit(1)).alias("__c"))
-    return stage1.groupBy("key").agg(F.sum("__c").cast("long").alias("cnt"))
+    stage1 = salted.groupBy("key", "__salt").applyInPandas(fold, out1)
+    return stage1.groupBy("key").agg(
+        F.sum("total").alias("total"), F.sum("cnt").cast("long").alias("cnt")
+    )

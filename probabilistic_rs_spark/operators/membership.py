@@ -33,21 +33,22 @@ def build_bloom_state(
     item_col: str,
     capacity: int,
     false_positive_rate: float = 0.01,
-    tree_fanin: int | None = 64,
+    tree_fanin: int | str | None = "auto",
 ) -> bytes:
     """Distributed Bloom build: partial filters per partition, bitwise-OR
-    tree merge, returns the final state bytes on the driver."""
+    tree merge, returns the final state bytes on the driver.
+
+    ``tree_fanin="auto"``: pre-merge level only when the partition count
+    warrants it; an explicit int is always honored, ``None`` disables."""
+    from probabilistic_rs_spark.operators.sketch_agg import resolve_tree_fanin
+
     spec = SketchSpec(
         "bloom",
         "bloom",
         item_col,
         {"capacity": capacity, "false_positive_rate": false_positive_rate},
     )
-    if tree_fanin is not None and df.rdd.getNumPartitions() <= 2 * tree_fanin:
-        # the pre-merge level only pays off when it reduces fan-in; below
-        # that it's a pure extra shuffle+deserialize round of dense states
-        tree_fanin = None
-    merged = sketch_aggregate(df, [], [spec], tree_fanin=tree_fanin)
+    merged = sketch_aggregate(df, [], [spec], tree_fanin=resolve_tree_fanin(df, tree_fanin))
     row = merged.select("bloom_state").head()
     return bytes(row["bloom_state"])
 

@@ -279,6 +279,27 @@ def sketch_merge(
     return merged.drop("__pid")
 
 
+def resolve_tree_fanin(
+    df: DataFrame, tree_fanin: int | str | None, auto_fanin: int = 64
+) -> int | None:
+    """Resolve a ``tree_fanin`` argument to an effective value.
+
+    * ``"auto"`` — enable a pre-merge level of ``auto_fanin`` only when the
+      input has enough partitions for it to pay off (> 2×fanin); below
+      that the pre-merge is a pure extra shuffle + re-serialization round.
+      Only this branch inspects the partition count (an RDD conversion of
+      the analyzed plan — skipped entirely for explicit values).
+    * explicit int — always honored (a caller who deliberately requests a
+      pre-merge level gets one).
+    * ``None`` — disabled.
+    """
+    if tree_fanin != "auto":
+        return tree_fanin  # explicit int or None: caller decision is final
+    if df.rdd.getNumPartitions() <= 2 * auto_fanin:
+        return None
+    return auto_fanin
+
+
 def sketch_aggregate(
     df: DataFrame,
     group_cols: list[str],

@@ -239,18 +239,25 @@ class BloomSketch:
                 f"incompatible Bloom states: (m,k)=({self.m},{self.k}) vs ({m},{k})"
             )
         payload_off = off + _META.size
+        cs = self.config.chunk_size_bytes
         if version == 2:
             idx = np.frombuffer(data, dtype=np.uint32, offset=payload_off)
             if len(idx) and int(idx.max()) >= self.m:
                 raise SketchStateError("sparse bit index out of range")
-            np.bitwise_or.at(
-                self.bits, idx >> np.uint32(3), (1 << (idx & 7)).astype(np.uint8)
-            )
+            byte_idx = idx >> np.uint32(3)
+            np.bitwise_or.at(self.bits, byte_idx, (1 << (idx & 7)).astype(np.uint8))
+            # merged-in bits must be visible to the next incremental
+            # snapshot, same as merge() — a live filter folded via
+            # merge_bytes then checkpointed with extract_dirty_chunks
+            # would otherwise silently omit them
+            self.dirty_chunks.update(np.unique(byte_idx // cs).tolist())
         else:
             bits = np.frombuffer(data, dtype=np.uint8, offset=payload_off)
             if len(bits) != len(self.bits):
                 raise SketchStateError("bit vector length mismatch")
+            nz = np.flatnonzero(bits)
             np.bitwise_or(self.bits, bits, out=self.bits)
+            self.dirty_chunks.update(np.unique(nz // cs).tolist())
         self.n_updates += n_updates
         return self
 

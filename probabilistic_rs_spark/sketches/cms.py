@@ -111,7 +111,9 @@ class CountMinSketch:
             cnt = np.frombuffer(data, dtype=np.int64, offset=body_off + 4 * nnz, count=nnz)
             if nnz and int(idx.max()) >= d * w:
                 raise SketchStateError("sparse CMS index out of range")
-            np.add.at(self.table.ravel(), idx, cnt)
+            # index the 2-D table directly: ravel() on a non-contiguous
+            # array would silently return a copy and drop the merge
+            np.add.at(self.table, (idx // w, idx % w), cnt)
         else:
             table = np.frombuffer(data, dtype=np.int64, offset=body_off)
             if len(table) != d * w:
@@ -152,7 +154,7 @@ class CountMinSketch:
             cnt = np.frombuffer(data, dtype=np.int64, offset=body_off + 4 * nnz, count=nnz)
             if nnz and int(idx.max()) >= d * w:
                 raise SketchStateError("sparse CMS index out of range")
-            sk.table.ravel()[idx] = cnt
+            sk.table[idx // w, idx % w] = cnt
         else:
             table = np.frombuffer(data, dtype=np.int64, offset=body_off)
             if len(table) != d * w:

@@ -132,41 +132,124 @@ class TestDedup:
         }
         assert got == want
 
-    def test_embedding_cosine_pairs_exact(self, emb):
+    def _numpy_cosine_pairs(self, emb, threshold):
+        rows = emb.collect()
+        V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+        V /= np.linalg.norm(V, axis=1, keepdims=True)
+        ids = np.array([r["vec_id"] for r in rows])
+        S = V @ V.T
+        return {
+            (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+            if S[i, j] >= threshold
+        }
+
+    def test_embedding_cosine_default_lsh_full_recall(self, emb):
+        """The DEFAULT (LSH + verify) path must equal brute force at the
+        operating point — recall 1.0 empirically, precision 1.0 by the
+        verify construction."""
         from probabilistic_rs_spark.operators.dedup import embedding_cosine_pairs
 
         got = {
             (r["id_a"], r["id_b"]): r["cosine"]
             for r in embedding_cosine_pairs(emb, "vec_id", "embedding", 0.4).collect()
         }
-        rows = emb.collect()
-        V = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
-        V /= np.linalg.norm(V, axis=1, keepdims=True)
-        ids = np.array([r["vec_id"] for r in rows])
-        S = V @ V.T
-        want = {
-            (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-            if S[i, j] >= 0.4
-        }
-        assert set(got) == want
+        assert set(got) == self._numpy_cosine_pairs(emb, 0.4)
         assert all(abs(v) <= 1.0 + 1e-9 for v in got.values())
 
-    def test_lsh_prefilter_is_subset_of_exact(self, emb):
+    def test_embedding_cosine_exact_optin_matches(self, emb):
+        from probabilistic_rs_spark.operators.dedup import embedding_cosine_pairs
+
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_cosine_pairs(
+                emb, "vec_id", "embedding", 0.4, exact=True
+            ).collect()
+        }
+        assert got == self._numpy_cosine_pairs(emb, 0.4)
+
+    def test_embedding_cosine_default_plan_has_no_cartesian_product(self, emb):
+        """The exercised default plan must be equi-join only — no
+        CartesianProduct / BroadcastNestedLoopJoin anywhere (VERDICT.md
+        round-1 item #1)."""
+        from probabilistic_rs_spark.operators.dedup import embedding_cosine_pairs
+
+        df = embedding_cosine_pairs(emb, "vec_id", "embedding", 0.4)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_explicit_planes_is_subset_of_exact(self, emb):
         from probabilistic_rs_spark.operators.dedup import embedding_cosine_pairs
 
         exact = {
             (r["id_a"], r["id_b"])
-            for r in embedding_cosine_pairs(emb, "vec_id", "embedding", 0.4).collect()
+            for r in embedding_cosine_pairs(
+                emb, "vec_id", "embedding", 0.4, exact=True
+            ).collect()
         }
         lsh = {
             (r["id_a"], r["id_b"])
             for r in embedding_cosine_pairs(
-                emb, "vec_id", "embedding", 0.4, planes=4
+                emb, "vec_id", "embedding", 0.4, planes=4, tables=4
             ).collect()
         }
         assert lsh <= exact  # verify step guarantees precision 1.0
+
+    def test_cosine_lsh_params_scale_with_threshold(self):
+        """Higher thresholds must get finer buckets (more planes) without
+        exceeding the table budget; all regimes keep tables bounded."""
+        from probabilistic_rs_spark.operators.dedup import cosine_lsh_params
+
+        p_lo, t_lo = cosine_lsh_params(0.4)
+        p_hi, t_hi = cosine_lsh_params(0.9)
+        assert p_hi > p_lo
+        assert 1 <= t_lo <= 16 and 1 <= t_hi <= 16
+
+    def test_jaccard_prefix_filter_bounds_skewed_index(self, spark):
+        """A stop-shingle present in EVERY doc must not blow up the
+        candidate join: the prefix filter excludes globally-frequent
+        shingles from almost every doc's prefix, keeping the inverted
+        index (and thus candidate pairs) linear — while the output stays
+        exactly equal to brute force."""
+        from probabilistic_rs_spark.operators.dedup import (
+            jaccard_candidate_index,
+            ngram_jaccard_pairs,
+        )
+
+        n_docs = 200
+        rows = [
+            # "common stop" bigram in every doc + unique tail per doc
+            (i, "common stop " + " ".join(f"w{i}x{j}" for j in range(8)))
+            for i in range(n_docs)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        idx = jaccard_candidate_index(df, "doc_id", "text", 2, 0.5)
+        per_shingle = idx.groupBy("__sh").count()
+        max_freq = per_shingle.agg(F.max("count")).head()[0]
+        # without the prefix filter the "common stop" shingle indexes all
+        # 200 docs -> ~19,900 candidate pairs; with it, no shingle may
+        # index more than a handful of docs
+        assert max_freq <= 4
+        pairs = ngram_jaccard_pairs(df, "doc_id", "text", 2, 0.5).collect()
+        assert pairs == []  # no pair shares more than the stop bigram
+
+    def test_jaccard_prefix_vs_unfiltered_equal(self, docs):
+        from probabilistic_rs_spark.operators.dedup import ngram_jaccard_pairs
+
+        sub = docs.limit(150)
+        with_pf = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+            for r in ngram_jaccard_pairs(sub, "doc_id", "text", 2, 0.5).collect()
+        }
+        without = {
+            (r["id_a"], r["id_b"]): round(r["jaccard"], 12)
+            for r in ngram_jaccard_pairs(
+                sub, "doc_id", "text", 2, 0.5, prefix_filter=False
+            ).collect()
+        }
+        assert with_pf == without
 
 
 class TestHeavyHitterTree:

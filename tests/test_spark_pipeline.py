@@ -88,6 +88,87 @@ def test_salted_exact_counts_match_plain_groupby(spark, pages):
     assert salted == plain
 
 
+def test_salted_apply_in_pandas_agg_exact_under_skew(spark):
+    """The load-bearing salted pattern: applyInPandas has no partial
+    aggregation, so the salt is what keeps a hot key's rows off a single
+    reducer. Results must equal the built-in aggregates exactly."""
+    from probabilistic_rs_spark.operators.heavy_hitters import salted_apply_in_pandas_agg
+
+    df = spark.range(50_000).select(
+        F.when(F.col("id") % 10 < 8, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold_"), F.col("id") % 97)
+        ).alias("k"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    got = {
+        r["key"]: (r["total"], r["cnt"])
+        for r in salted_apply_in_pandas_agg(df, "k", "v", n_salts=8).collect()
+    }
+    want = {
+        r["k"]: (r["t"], r["c"])
+        for r in df.groupBy("k").agg(F.sum("v").alias("t"), F.count("*").alias("c")).collect()
+    }
+    assert set(got) == set(want)
+    for k, (t, c) in want.items():
+        assert got[k][1] == c
+        assert abs(got[k][0] - t) < 1e-6 * max(1.0, abs(t))
+
+
+def test_bounded_candidate_tracker_memory_is_bounded():
+    """Round-1 verdict item #2: the partition-local candidate set must be
+    O(candidates_per_partition) at ANY key cardinality. Feed >10^6
+    distinct keys through one tracker and assert it never exceeds
+    4×capacity, while a genuinely heavy key survives with top rank."""
+    from probabilistic_rs_spark.operators.heavy_hitters import BoundedCandidateTracker
+
+    cpp = 256
+    tr = BoundedCandidateTracker(cpp)
+    rng = np.random.default_rng(7)
+    hot_hash = np.uint64(123456789)
+    total = 0
+    for batch in range(60):
+        uniq = (rng.integers(1, 2**62, size=20_000).astype(np.uint64)
+                + np.uint64(batch * 10**9))
+        hashes = np.concatenate(([hot_hash], np.unique(uniq)))
+        counts = np.concatenate(([np.int64(5000)], np.ones(len(hashes) - 1, dtype=np.int64)))
+        keys = np.array(["hot"] + [f"k{batch}_{i}" for i in range(len(hashes) - 1)])
+        first_idx = np.arange(len(hashes))
+        tr.add_unique(hashes, counts, keys, first_idx)
+        total += len(hashes)
+        assert len(tr) <= 4 * cpp, f"tracker grew to {len(tr)} after {total} keys"
+    assert total > 1_000_000
+    top = tr.top()
+    assert top[0][1][1] == "hot"  # the heavy key survives every prune, ranked first
+
+
+def test_cms_heavy_hitters_green_under_pruning(spark):
+    """End-to-end: a key cardinality far above 4×cpp in one partition
+    still returns the true heavy hitters with exact CMS estimates."""
+    df = (
+        spark.range(120_000)
+        .select(
+            F.when(F.col("id") % 4 == 0, F.concat(F.lit("heavy_"), F.col("id") % 3))
+            .otherwise(F.concat(F.lit("u"), F.col("id")))
+            .alias("k")
+        )
+        .coalesce(1)
+    )
+    out = {
+        r["key"]: r["est_count"]
+        for r in cms_heavy_hitters(
+            df, "k", eps=0.0001, delta=0.001, candidates_per_partition=64, threshold=5000
+        ).collect()
+    }
+    exact = {
+        r["k"]: r["count"]
+        for r in df.groupBy("k").count().where(F.col("count") >= 5000).collect()
+    }
+    assert set(out) == set(exact) and len(exact) == 3
+    for k, est in out.items():
+        # CMS guarantee: never underestimates, overestimates by <= eps*N
+        assert exact[k] <= est <= exact[k] + 0.0001 * 120_000
+
+
 # --- north-star query 3: quantiles of length(text) and warc_ts ---------------
 
 @pytest.mark.parametrize("kind,params", [("tdigest", {"delta": 200.0}), ("kll", {"k": 200})])
