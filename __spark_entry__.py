@@ -218,6 +218,51 @@ def _q_bloom_semi_filter_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bloom_incremental_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-then-estimate over the chunk-addressed incremental
+    checkpoint (reference's headline persistence feature,
+    src/bloom/filter.rs:221-243 + benches/bloom_fjall_benchmarks.rs:26-63):
+    orders are absorbed in two units with a dirty-chunk-only snapshot after
+    each; the filter is then RELOADED from chunk rows and probed. Output =
+    exact member set (FPR sized so expected FPs ≈ 0, verified
+    deterministic)."""
+    import shutil
+    import tempfile
+
+    from probabilistic_rs_spark.chunkstore import BloomChunkStore, IncrementalBloomCheckpoint
+    from probabilistic_rs_spark.operators.membership import bloom_probe
+    from probabilistic_rs_spark.sketches.bloom import BloomConfig
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    n = orders.count()
+    tmp = tempfile.mkdtemp(prefix="prs_incr_ckpt_")
+    try:
+        ck = IncrementalBloomCheckpoint(
+            tmp, "o_custkey", BloomConfig(capacity=max(1000, n), false_positive_rate=0.00001)
+        )
+        readers = {
+            "even": lambda s, u: orders.where(F.col("o_orderkey") % 2 == 0),
+            "odd": lambda s, u: orders.where(F.col("o_orderkey") % 2 == 1),
+        }
+        ck.run_units(spark, ["even", "odd"], reader=lambda s, u: readers[u](s, u))
+        # resume path: reconstruct the filter purely from persisted chunk rows
+        _, loaded = BloomChunkStore.load(ck.store_path)
+        probes = customer.select(F.col("c_custkey").alias("custkey")).union(
+            customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
+        )
+        out = (
+            bloom_probe(probes, "custkey", loaded.to_bytes())
+            .where(F.col("is_member"))
+            .select("custkey")
+            .distinct()
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)  # materialize before tmp cleanup
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_tdigest_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantiles of l_extendedprice; verdict = rank error <= 0.01."""
     from probabilistic_rs_spark.operators.quantiles import approx_quantiles
@@ -309,6 +354,69 @@ def _q_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFram
     levels = [(r["bucket"], r["bucket"], bytes(r["bloom_state"])) for r in recent]
     users = ev.select("user_id").distinct()
     return probe_recent(users, "user_id", levels).where(F.col("is_member")).select("user_id")
+
+
+def _q_streaming_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING expiring Bloom (applyInPandasWithState, availableNow
+    trigger over a file source) oracle-gated against the same exact weekly
+    semantics as the batch windowed_bloom_recent_users query: users present
+    in the 3 most recent 7-day buckets. Each event's timestamp is
+    pre-snapped to its bucket start so streaming window boundaries map 1:1
+    onto the oracle's calendar buckets."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from probabilistic_rs_spark.operators.windowed_bloom import probe_recent
+    from probabilistic_rs_spark.streaming import streaming_windowed_bloom
+
+    ev = _t(spark, sf_dir, "events")
+    bucket_start = F.to_timestamp(
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7) * 7).cast("int"),
+        )
+    )
+    src_df = ev.select("user_id", bucket_start.alias("bts"))
+    tmp = tempfile.mkdtemp(prefix="prs_stream_q_")
+    qname = f"prs_recent_users_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{tmp}/src"
+        src_df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(src_df.schema).parquet(src)
+        out = streaming_windowed_bloom(
+            stream,
+            "bts",
+            "user_id",
+            level_duration="7 days",
+            watermark_delay="14 days",
+            capacity_per_level=100_000,
+            target_fpr=0.0001,
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.sql(f"SELECT * FROM {qname}").where(~F.col("expired"))
+        latest = res.withColumn(
+            "rn", F.row_number().over(W.partitionBy("window_start").orderBy(F.desc("n_updates")))
+        ).where("rn = 1")
+        recent = latest.orderBy(F.desc("window_start")).limit(3).collect()
+        levels = [(r["window_start"], r["window_end"], bytes(r["state"])) for r in recent]
+        users = ev.select("user_id").distinct()
+        members = (
+            probe_recent(users, "user_id", levels).where(F.col("is_member")).select("user_id")
+        )
+        return spark.createDataFrame(members.collect(), members.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -443,11 +551,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_members_custkey": _q_bloom_members_custkey,
         "bloom_fpr_gate": _q_bloom_fpr_gate,
         "bloom_semi_filter_urgent": _q_bloom_semi_filter_urgent,
+        "bloom_incremental_checkpoint": _q_bloom_incremental_checkpoint,
         "tdigest_price_quantile_bounds": _q_tdigest_price_bounds,
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
         "hll_reaggregate_states": _q_hll_reaggregate_states,
         "cms_probe_event_counts": _q_cms_probe_event_counts,
         "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
+        "streaming_windowed_bloom_recent_users": _q_streaming_windowed_bloom_recent_users,
         "dedup_exact_text": _q_dedup_exact,
         "dedup_ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
@@ -500,6 +610,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT') "
             "GROUP BY l_returnflag"
         ),
+        "bloom_incremental_checkpoint": (
+            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
         "tdigest_price_quantile_bounds": (
             "SELECT CAST(q AS DOUBLE) AS q, within_bound FROM (VALUES (0.01, TRUE), "
             "(0.25, TRUE), (0.5, TRUE), (0.75, TRUE), (0.99, TRUE)) AS t(q, within_bound)"
@@ -517,6 +631,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "windowed_bloom_recent_users": (
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) >= "
+            "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "
+            "FROM events)"
+        ),
+        "streaming_windowed_bloom_recent_users": (
             "SELECT DISTINCT user_id FROM events "
             "WHERE floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) >= "
             "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "

@@ -79,6 +79,83 @@ def recent_level_states(
     return [(r["window_start"], r["window_end"], bytes(r["bloom_state"])) for r in rows]
 
 
+def active_window_states(
+    states_df: DataFrame, num_levels: int = 3, as_of=None
+) -> DataFrame:
+    """The active level set as a DataFrame: the ``num_levels`` most recent
+    windows at/before ``as_of``. Uninitialized windows don't exist as rows
+    here (the batch analog of ``created_at == 0`` levels being excluded,
+    ``src/ebloom/filter.rs:249-266``)."""
+    from pyspark.sql import Window as W
+
+    if not (0 < num_levels <= 255):
+        raise SketchConfigError("num_levels must be in 1..=255")
+    cur = states_df
+    if as_of is not None:
+        cur = cur.where(F.col("window_start") <= F.lit(as_of))
+    ranked = cur.withColumn(
+        "__rk", F.row_number().over(W.orderBy(F.desc("window_start")))
+    )
+    return ranked.where(F.col("__rk") <= num_levels).drop("__rk")
+
+
+def expiring_stats(
+    states_df: DataFrame, num_levels: int = 3, as_of=None
+) -> DataFrame:
+    """Stats parity with the reference's expiring filter
+    (``src/ebloom/filter.rs:747-768``): ``total_insert_count`` = sum of
+    per-level insert counts over the ACTIVE levels only (uninitialized /
+    expired windows excluded, exactly as the reference sums initialized
+    level metadata), ``active_levels`` = number of live windows (≤
+    num_levels), plus the total/expired window counts the reference's
+    storage would hold. One-row DataFrame."""
+    active = active_window_states(states_df, num_levels, as_of)
+    act = active.agg(
+        F.coalesce(F.sum("n_updates"), F.lit(0)).cast("long").alias("total_insert_count"),
+        F.count(F.lit(1)).cast("int").alias("active_levels"),
+    )
+    total = states_df.agg(F.count(F.lit(1)).cast("int").alias("total_windows"))
+    return act.crossJoin(total).select(
+        "total_insert_count",
+        "active_levels",
+        "total_windows",
+        (F.col("total_windows") - F.col("active_levels")).cast("int").alias("expired_windows"),
+    )
+
+
+def prune_expired_windows(
+    states_df: DataFrame, num_levels: int = 3, as_of=None
+) -> DataFrame:
+    """Retention enforcement — the ``delete_level`` analog
+    (``src/ebloom/storage.rs`` trait): drop every window-state row older
+    than the ``num_levels`` most recent. Probes over the active set are
+    unchanged by construction (they never look past ``num_levels``); this
+    bounds the persisted states table instead of letting dead windows
+    accumulate forever."""
+    return active_window_states(states_df, num_levels, as_of)
+
+
+def prune_states_table(spark, path: str, num_levels: int = 3, as_of=None) -> int:
+    """Rewrite a persisted window-states Parquet table keeping only the
+    active windows. Swap is atomic at the directory level (write aside,
+    rename over). Returns the number of retained rows."""
+    import os
+    import shutil
+
+    states = spark.read.parquet(path)
+    kept = prune_expired_windows(states, num_levels, as_of)
+    tmp = path.rstrip("/") + "__pruning"
+    kept.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = path.rstrip("/") + "__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return n
+
+
 def probe_recent(
     probe_df: DataFrame,
     item_col: str,

@@ -145,3 +145,71 @@ def _td(seconds: float):
     import datetime
 
     return datetime.timedelta(seconds=seconds)
+
+
+class TestExpiringStatsAndRetention:
+    """Stats + retention parity with the reference's expiring filter
+    (src/ebloom/filter.rs:747-768 stats; src/ebloom/storage.rs delete_level)."""
+
+    def test_expiring_stats_rollup(self, spark, events):
+        from probabilistic_rs_spark.operators.windowed_bloom import (
+            expiring_stats,
+            windowed_bloom_states,
+        )
+
+        states = windowed_bloom_states(
+            events, "ts", "user_id", level_duration="7 days",
+            capacity_per_level=10_000, target_fpr=0.01,
+        ).cache()
+        all_rows = sorted(
+            [(r["window_start"], r["n_updates"]) for r in states.collect()]
+        )
+        assert len(all_rows) >= 4
+        got = expiring_stats(states, num_levels=3).head()
+        # active = 3 most recent windows; total_insert_count sums ONLY them
+        want_active = all_rows[-3:]
+        assert got["active_levels"] == 3
+        assert got["total_insert_count"] == sum(n for _, n in want_active)
+        assert got["total_windows"] == len(all_rows)
+        assert got["expired_windows"] == len(all_rows) - 3
+        # num_levels larger than available windows: all are active
+        got_all = expiring_stats(states, num_levels=255).head()
+        assert got_all["active_levels"] == len(all_rows)
+        assert got_all["total_insert_count"] == sum(n for _, n in all_rows)
+        assert got_all["expired_windows"] == 0
+
+    def test_prune_states_table_bounds_rows_probe_unchanged(self, spark, events, tmp_path):
+        from probabilistic_rs_spark.operators.windowed_bloom import (
+            probe_recent,
+            prune_states_table,
+            recent_level_states,
+            windowed_bloom_states,
+        )
+
+        states = windowed_bloom_states(
+            events, "ts", "user_id", level_duration="7 days",
+            capacity_per_level=10_000, target_fpr=0.01,
+        )
+        path = str(tmp_path / "states")
+        states.write.parquet(path)
+        n_before = spark.read.parquet(path).count()
+        assert n_before > 3
+        levels_before = recent_level_states(spark.read.parquet(path), 3)
+        users = events.select("user_id").distinct().limit(200)
+        before = {
+            r["user_id"]
+            for r in probe_recent(users, "user_id", levels_before)
+            .where("is_member").collect()
+        }
+        kept = prune_states_table(spark, path, num_levels=3)
+        assert kept == 3
+        assert spark.read.parquet(path).count() == 3
+        levels_after = recent_level_states(spark.read.parquet(path), 3)
+        after = {
+            r["user_id"]
+            for r in probe_recent(users, "user_id", levels_after)
+            .where("is_member").collect()
+        }
+        # retention never changes what the active-set probe sees
+        assert after == before
+        assert {w for w, _, _ in levels_after} == {w for w, _, _ in levels_before}
