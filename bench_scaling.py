@@ -69,30 +69,39 @@ def job():
         SketchSpec("ts_kll", "kll", "ts_us", {{"k": 200}}),
         SketchSpec("members", "bloom", "url", {{"capacity": 2 * n_rows}}),
     ]
-    # no tree fan-in at this partial count: 128 partials merge in one
-    # reducer in ~1s, while a pre-merge level adds a full extra shuffle +
-    # re-serialization round that costs more than it saves (fan-in starts
-    # paying off around 10^4+ input partitions — see operators/sketch_agg)
+    # two-level tree merge: without it the single global reducer
+    # deserializes every partition's partial bytes (~460 MB: bloom 1.7 MB
+    # sparse + CMS 1.8 MB per partial x 128) and folds them serially —
+    # the dominant Amdahl term of this job. fanin=8 premerges in 8
+    # parallel bucket tasks; the final task then sees 8 dense states.
     from probabilistic_rs_spark.operators.sketch_agg import with_hll_estimate, with_quantiles
-    g = sketch_aggregate(df, [], specs)
+    g = sketch_aggregate(df, [], specs, tree_fanin=8)
     g = with_hll_estimate(g, "u_state", "n_urls")
     g = with_quantiles(g, "len_td_state", "tdigest", [0.01, 0.5, 0.99], "len_q")
     g = with_quantiles(g, "ts_kll_state", "kll", [0.01, 0.5, 0.99], "ts_q")
-    row = g.select("n_updates", "n_urls", "len_q", "ts_q").head()
-    digest = (int(row["n_urls"]),
-              [round(float(x), 6) for x in row["len_q"]],
-              [round(float(x), 6) for x in row["ts_q"]])
-    return 5 * int(row["n_updates"]), digest
+    row = g.select("n_updates", "n_urls", "len_q", "ts_q", "u_state", "hosts_state").head()
+    # identical-estimates digest uses EXACT-MERGE outputs only (HLL register
+    # max, CMS counter add: final state bytes are order-invariant, so their
+    # hashes must match at every parallelism level). t-digest/KLL quantiles
+    # are only bound-stable across leaf splits, so they are reported but
+    # NOT part of the equality digest.
+    import hashlib
+    digest = (int(row["n_updates"]), int(row["n_urls"]),
+              hashlib.sha1(bytes(row["u_state"])).hexdigest(),
+              hashlib.sha1(bytes(row["hosts_state"])).hexdigest())
+    quantiles = ([round(float(x), 6) for x in row["len_q"]],
+                 [round(float(x), 6) for x in row["ts_q"]])
+    return 5 * int(row["n_updates"]), digest, quantiles
 
 job()  # warm: JVM JIT, python workers, page cache
-best, updates, digest = None, 0, None
+best, updates, digest, quantiles = None, 0, None, None
 for _ in range(2):
-    t0 = time.perf_counter(); (updates, digest) = job(); dt = time.perf_counter() - t0
+    t0 = time.perf_counter(); (updates, digest, quantiles) = job(); dt = time.perf_counter() - t0
     best = dt if best is None or dt < best else best
 print(json.dumps({{"cpus": cpus, "wall_s": round(best, 3),
     "rows": n_rows, "sketch_updates": int(updates),
     "updates_per_sec": round(updates / best, 1),
-    "estimates_digest": repr(digest)}}))
+    "estimates_digest": repr(digest), "quantiles": repr(quantiles)}}))
 spark.stop()
 """
 

@@ -19,11 +19,18 @@ the set-similarity generalization a webtext pipeline needs. Hashing reuses
 the library's splitmix64 mixer (functions/hashing.py).
 
 Scale notes (100 TB):
-* shingle inverted index: drop ultra-frequent shingles
-  (``max_shingle_freq``) — they contribute quadratic join blowup and no
-  discrimination (standard stop-shingle trick).
+* shingle inverted index: the PPJoin/All-Pairs PREFIX FILTER is on by
+  default — each doc indexes only its ``|s|-ceil(t|s|)+1`` globally
+  rarest shingles, which keeps the self-join linear under stop-shingle
+  skew while remaining EXACT (a qualifying pair must share a prefix
+  shingle). ``max_shingle_freq`` remains as an opt-in extra cap with a
+  documented recall contract.
 * MinHash bands: shuffle volume = num_bands rows per doc, independent of
   text size; exact verify runs only on candidate pairs.
+* embedding near-dup: the DEFAULT path is multi-table hyperplane LSH
+  with Hamming-1 multiprobe + exact verify — equi-joins only, no
+  crossJoin anywhere; the all-pairs kernel is an explicit ``exact=True``
+  opt-in for oracles and small groups.
 * All per-doc kernels are Arrow-batched numpy; no per-row Python.
 """
 

@@ -94,6 +94,17 @@ class SketchSpec:
             return TDigest(**self.params)
         return KLLSketch(**self.params)
 
+    def make_builder(self):
+        """Build-side accumulator: same wire format as :meth:`make`'s
+        sketch, but Bloom partials use the dense-free index builder — a
+        partition task never allocates the O(m) dense array just to emit a
+        sparse partial (see sketches.bloom.BloomPartialBuilder)."""
+        if self.kind == "bloom":
+            from probabilistic_rs_spark.sketches.bloom import BloomPartialBuilder
+
+            return BloomPartialBuilder(BloomConfig(**self.params))
+        return self.make()
+
     @property
     def value_kind(self) -> str:
         return _VALUE_KIND[self.kind]
@@ -192,7 +203,7 @@ def sketch_partials(
             for key, rows in items:
                 sketches = acc.get(key)
                 if sketches is None:
-                    sketches = [s.make() for s in specs_local]
+                    sketches = [s.make_builder() for s in specs_local]
                     acc[key] = sketches
                     counts[key] = 0
                 counts[key] += len(rows)

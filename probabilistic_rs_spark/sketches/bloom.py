@@ -214,6 +214,13 @@ class BloomSketch:
             self.config.chunk_size_bytes,
             self.n_updates,
         )
+        # dense short-circuit: set bits ≤ k·n_updates, so when even the
+        # zero-duplicate bound says the sparse payload can't be smaller,
+        # skip the O(m) flatnonzero/popcount decision scan entirely (the
+        # final reducer's global filter always lands here — this scan was
+        # ~170 ms of pure serial time per merged state at capacity 16M)
+        if 4 * self.k * self.n_updates >= len(self.bits):
+            return pack_header(TYPE_BLOOM, version=1) + meta + self.bits.tobytes()
         # expand only the nonzero BYTES to bit indices: a lightly-filled
         # filter touches ~n·k of m bytes, so temporaries stay O(set bits)
         # instead of O(m) — full-width unpackbits would fault 8×m of fresh
@@ -244,13 +251,14 @@ class BloomSketch:
             idx = np.frombuffer(data, dtype=np.uint32, offset=payload_off)
             if len(idx) and int(idx.max()) >= self.m:
                 raise SketchStateError("sparse bit index out of range")
-            byte_idx = idx >> np.uint32(3)
-            np.bitwise_or.at(self.bits, byte_idx, (1 << (idx & 7)).astype(np.uint8))
+            _or_bit_indices(self.bits, idx)
             # merged-in bits must be visible to the next incremental
             # snapshot, same as merge() — a live filter folded via
             # merge_bytes then checkpointed with extract_dirty_chunks
-            # would otherwise silently omit them
-            self.dirty_chunks.update(np.unique(byte_idx // cs).tolist())
+            # would otherwise silently omit them. O(n) dedupe: sparse
+            # payloads are sorted, so chunk ids change monotonically
+            if len(idx):
+                self.dirty_chunks.update(_sorted_unique_chunk_ids(idx, cs).tolist())
         else:
             bits = np.frombuffer(data, dtype=np.uint8, offset=payload_off)
             if len(bits) != len(self.bits):
@@ -273,9 +281,7 @@ class BloomSketch:
             idx = np.frombuffer(data, dtype=np.uint32, offset=payload_off)
             if len(idx) and int(idx.max()) >= sk.m:
                 raise SketchStateError("sparse bit index out of range")
-            np.bitwise_or.at(
-                sk.bits, idx >> np.uint32(3), (1 << (idx & 7)).astype(np.uint8)
-            )
+            _or_bit_indices(sk.bits, idx)
         else:
             bits = np.frombuffer(data, dtype=np.uint8, offset=payload_off)
             if len(bits) != len(sk.bits):
@@ -287,3 +293,119 @@ class BloomSketch:
 
 # byte-popcount lookup table for the adaptive encoding decision
 _POPCNT = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint16)
+
+
+def _or_bit_indices(bits: np.ndarray, idx: np.ndarray) -> None:
+    """OR bit indices into an LSB-first byte array via the unbuffered
+    scatter. (A segmented reduceat variant was measured 3× SLOWER at
+    sparse fill — with < 1 bit per byte nearly every element is its own
+    segment, so the reduce machinery is pure overhead.)"""
+    if len(idx) == 0:
+        return
+    np.bitwise_or.at(bits, idx >> np.uint32(3), (1 << (idx & 7)).astype(np.uint8))
+
+
+def _sorted_unique_chunk_ids(idx: np.ndarray, chunk_size_bytes: int) -> np.ndarray:
+    """Chunk ids touched by a SORTED bit-index array, deduped in O(n) with
+    uint32 shift/compare ops (no sort, no int64 upcast). Falls back to
+    np.unique for unsorted input."""
+    cs = int(chunk_size_bytes)
+    if cs & (cs - 1) == 0:
+        shift = np.uint32(3 + cs.bit_length() - 1)
+        cids = idx >> shift
+    else:
+        cids = (idx >> np.uint32(3)) // np.uint32(cs)
+    if len(cids) > 1 and (cids[1:] < cids[:-1]).any():
+        return np.unique(cids)
+    if len(cids) == 0:
+        return cids
+    keep = np.concatenate(([0], np.flatnonzero(cids[1:] != cids[:-1]) + 1))
+    return cids[keep]
+
+
+class BloomPartialBuilder:
+    """Dense-free accumulator for per-partition Bloom PARTIALS.
+
+    A partition-local partial of a big filter is lightly filled (it sees
+    ~rows_per_partition·k of m bits), so materializing the dense m/8-byte
+    array per partition task is pure waste: at capacity 16M that is a
+    19 MB fresh-faulted allocation, a 38 ms ``bitwise_or.at`` scatter, and
+    a 78 ms dense→sparse re-extraction in ``to_bytes`` — per partition.
+    This builder instead collects the raw bit indices each Arrow batch
+    produces and emits the SAME versioned wire format (sparse v2 via one
+    ``np.unique`` sort, or dense v1 when genuinely dense) — the partial
+    build path never touches O(m) memory unless the data actually fills
+    the filter.
+
+    Duck-type-compatible with :class:`BloomSketch` for the build-side
+    surface (``update_padded`` / ``update_batch`` / ``to_bytes`` /
+    ``n_updates``); ``from_bytes`` returns a real :class:`BloomSketch`, so
+    merge-side code that resolves the class from a spec keeps working.
+    """
+
+    __slots__ = ("config", "m", "k", "idx_chunks", "n_idx", "dense", "n_updates")
+
+    def __init__(self, config: BloomConfig | None = None):
+        config = config or BloomConfig()
+        config.validate()
+        self.config = config
+        self.m = optimal_bit_vector_size(config.capacity, config.false_positive_rate)
+        self.k = max(1, optimal_num_hashes(config.capacity, self.m))
+        self.idx_chunks: list[np.ndarray] = []
+        self.n_idx = 0
+        self.dense: BloomSketch | None = None
+        self.n_updates = 0
+
+    def _absorb(self, idx: np.ndarray, n_items: int) -> None:
+        self.n_updates += n_items
+        if self.dense is not None:
+            _or_bit_indices(self.dense.bits, idx)
+            return
+        self.idx_chunks.append(idx.astype(np.uint32, copy=False))
+        self.n_idx += len(idx)
+        # memory bound: once the raw index list would outweigh the dense
+        # array, collapse to dense and scatter from then on — builder
+        # memory is min(sparse, dense) at ANY partition size
+        if self.n_idx * 4 >= (self.m + 7) // 8:
+            self.dense = BloomSketch(self.config)
+            _or_bit_indices(self.dense.bits, np.concatenate(self.idx_chunks))
+            self.idx_chunks = []
+            self.n_idx = 0
+
+    def update_padded(self, buf: np.ndarray, lens: np.ndarray) -> None:
+        if len(lens) == 0:
+            return
+        self._absorb(bloom_index_padded(buf, lens, self.k, self.m).ravel(), len(lens))
+
+    def update_batch(self, items) -> None:
+        if len(items) == 0:
+            return
+        self._absorb(bloom_index_batch(items, self.k, self.m).ravel(), len(items))
+
+    def to_bytes(self) -> bytes:
+        meta = _META.pack(
+            self.config.capacity,
+            self.config.false_positive_rate,
+            self.m,
+            self.k,
+            self.config.chunk_size_bytes,
+            self.n_updates,
+        )
+        if self.dense is not None:
+            self.dense.n_updates = self.n_updates
+            return self.dense.to_bytes()
+        if self.idx_chunks:
+            idx = np.unique(np.concatenate(self.idx_chunks))
+        else:
+            idx = np.empty(0, dtype=np.uint32)
+        # set BITS bound set BYTES, so idx-count*4 < m/8 implies the sparse
+        # payload is smaller than dense (same decision rule as BloomSketch)
+        if len(idx) * 4 < (self.m + 7) // 8:
+            return pack_header(TYPE_BLOOM, version=2) + meta + idx.tobytes()
+        sk = BloomSketch(self.config)
+        _or_bit_indices(sk.bits, idx)
+        return pack_header(TYPE_BLOOM, version=1) + meta + sk.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomSketch":
+        return BloomSketch.from_bytes(data)

@@ -197,3 +197,58 @@ def test_stats():
     sk.update_batch(seq_items(100))
     assert sk.insert_count == 100
     assert 0 < sk.fill_ratio() < 0.01
+
+
+class TestPartialBuilder:
+    """BloomPartialBuilder: dense-free partial build must be wire-format
+    identical to the dense path at every fill level (and bounded in
+    memory via the collapse-to-dense switch)."""
+
+    def test_builder_matches_dense_sparse_regime(self):
+        from probabilistic_rs_spark.sketches.bloom import (
+            BloomConfig,
+            BloomPartialBuilder,
+            BloomSketch,
+        )
+
+        cfg = BloomConfig(capacity=500_000, false_positive_rate=0.01)
+        items = [f"item_{i:06d}".encode() for i in range(20_000)]
+        b = BloomPartialBuilder(cfg)
+        d = BloomSketch(cfg)
+        for lo in range(0, len(items), 3000):  # multiple batches
+            b.update_batch(items[lo : lo + 3000])
+            d.update_batch(items[lo : lo + 3000])
+        assert b.dense is None  # stayed sparse
+        assert b.to_bytes() == d.to_bytes()
+        assert b.n_updates == d.n_updates == 20_000
+
+    def test_builder_collapse_to_dense_regime(self):
+        from probabilistic_rs_spark.sketches.bloom import (
+            BloomConfig,
+            BloomPartialBuilder,
+            BloomSketch,
+        )
+
+        # tiny capacity: indices quickly outweigh the dense array
+        cfg = BloomConfig(capacity=2_000, false_positive_rate=0.01)
+        items = [f"x{i}".encode() for i in range(4_000)]
+        b = BloomPartialBuilder(cfg)
+        d = BloomSketch(cfg)
+        for lo in range(0, len(items), 500):
+            b.update_batch(items[lo : lo + 500])
+            d.update_batch(items[lo : lo + 500])
+        assert b.dense is not None  # collapsed: memory stayed bounded
+        assert b.to_bytes() == d.to_bytes()
+        sk = BloomSketch.from_bytes(b.to_bytes())
+        assert sk.contains_batch(items).all()
+
+    def test_builder_empty(self):
+        from probabilistic_rs_spark.sketches.bloom import (
+            BloomConfig,
+            BloomPartialBuilder,
+            BloomSketch,
+        )
+
+        b = BloomPartialBuilder(BloomConfig(capacity=1000))
+        sk = BloomSketch.from_bytes(b.to_bytes())
+        assert sk.n_updates == 0 and sk.fill_ratio() == 0.0
