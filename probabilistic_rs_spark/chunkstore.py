@@ -194,6 +194,79 @@ class BloomChunkStore:
         return (len(sk.bits) + cs - 1) // cs
 
 
+class WindowedBloomChunkStores:
+    """Per-window chunk stores — the expiring filter's persistence layout.
+
+    Reference parity (``src/ebloom/storage.rs``): each level gets its own
+    chunk partition (``level_{n}_chunks``, ``:210-243``); only the level
+    currently receiving inserts is rewritten, and incrementally (dirty
+    chunks of the current level only, ``src/ebloom/filter.rs:344-375``);
+    frozen levels are never re-persisted (``:378-403`` full snapshot runs
+    once, on rotation); expired levels are deleted wholesale
+    (``delete_level``). Here a *window* (sortable string key, e.g. the
+    ISO window start) plays the level role: absorbing data into a window
+    rewrites only that window's dirty chunks; retention deletes whole
+    window directories beyond ``num_levels``.
+    """
+
+    def __init__(self, root: str, config: BloomConfig, num_levels: int = 3):
+        if not (0 < num_levels <= 255):
+            # reference cap: level count fits one byte (src/ebloom/config.rs:53-57)
+            raise SketchConfigError("num_levels must be in 1..=255")
+        self.root = root
+        self.config = config
+        self.num_levels = int(num_levels)
+        self._live: dict[str, tuple[BloomChunkStore, BloomSketch]] = {}
+
+    def _wdir(self, window_key: str) -> str:
+        if "/" in window_key or window_key.startswith("."):
+            raise SketchConfigError(f"invalid window key {window_key!r}")
+        return os.path.join(self.root, f"window={window_key}")
+
+    def windows(self) -> list[str]:
+        """Persisted window keys, oldest first (sorted on load — same
+        re-sort-on-read discipline as chunk ids)."""
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            d.split("=", 1)[1] for d in os.listdir(self.root) if d.startswith("window=")
+        )
+
+    def absorb(self, window_key: str, state_blob: bytes) -> dict:
+        """Fold a serialized partial into the window's live filter and
+        snapshot ONLY the chunks this fold dirtied."""
+        entry = self._live.get(window_key)
+        if entry is None:
+            entry = BloomChunkStore.create_or_load(self._wdir(window_key), self.config)
+            self._live[window_key] = entry
+        store, sk = entry
+        sk.merge_bytes(state_blob)
+        return store.save_snapshot(sk, incremental=True)
+
+    def load(self, window_key: str) -> BloomSketch:
+        _, sk = BloomChunkStore.load(self._wdir(window_key))
+        return sk
+
+    def active_level_states(self, as_of_key: str | None = None) -> list[tuple[str, bytes]]:
+        """(window_key, state_bytes) for the ``num_levels`` most recent
+        windows at/before ``as_of_key`` — probe with cross-level OR via
+        ``operators.windowed_bloom.probe_recent`` semantics."""
+        keys = [
+            w for w in self.windows() if as_of_key is None or w <= as_of_key
+        ][-self.num_levels :]
+        return [(w, self.load(w).to_bytes()) for w in keys]
+
+    def enforce_retention(self, as_of_key: str | None = None) -> list[str]:
+        """``delete_level`` analog: drop every window older than the
+        ``num_levels`` most recent. Returns deleted keys."""
+        keys = [w for w in self.windows() if as_of_key is None or w <= as_of_key]
+        doomed = keys[: -self.num_levels] if len(keys) > self.num_levels else []
+        for w in doomed:
+            shutil.rmtree(self._wdir(w), ignore_errors=True)
+            self._live.pop(w, None)
+        return doomed
+
+
 class IncrementalBloomCheckpoint:
     """Resumable global-Bloom build over input *units* with per-unit
     lineage AND chunk-addressed incremental state snapshots.

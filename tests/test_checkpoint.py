@@ -277,3 +277,118 @@ class TestChunkStore:
         later = [r for u, r in done.items() if u in units[2:]]
         assert all(r["generation"] >= 3 for r in later)
         assert total_chunks_written_before > 0
+
+
+class TestWindowedChunkStores:
+    """Per-window incremental persistence — expiring-filter storage parity
+    (src/ebloom/storage.rs per-level partitions :210-243, delete_level;
+    src/ebloom/filter.rs:344-403 incremental/full snapshot split)."""
+
+    def _cfg(self):
+        from probabilistic_rs_spark.sketches.bloom import BloomConfig
+
+        return BloomConfig(capacity=50_000, false_positive_rate=0.01)
+
+    def _blob(self, items):
+        from probabilistic_rs_spark.sketches.bloom import BloomPartialBuilder
+
+        b = BloomPartialBuilder(self._cfg())
+        b.update_batch(items)
+        return b.to_bytes()
+
+    def test_absorb_is_incremental_and_frozen_windows_untouched(self, tmp_path):
+        import os
+
+        from probabilistic_rs_spark.chunkstore import WindowedBloomChunkStores
+
+        ws = WindowedBloomChunkStores(str(tmp_path / "w"), self._cfg(), num_levels=3)
+        s1 = ws.absorb("2024-01-01", self._blob([f"a{i}".encode() for i in range(3000)]))
+        assert s1["chunks_written"] > 0
+        # second fold into the SAME window: only newly-dirtied chunks
+        s2 = ws.absorb("2024-01-01", self._blob([b"late_x", b"late_y"]))
+        assert 0 < s2["chunks_written"] <= 2 * 8  # <= one chunk per set bit
+        # a new window freezes the old one: absorbing into window 2 must
+        # not rewrite window 1's files
+        w1dir = str(tmp_path / "w" / "window=2024-01-01" / "chunks")
+        before = {f: os.path.getmtime(os.path.join(w1dir, f)) for f in os.listdir(w1dir)}
+        ws.absorb("2024-01-08", self._blob([f"b{i}".encode() for i in range(1000)]))
+        after = {f: os.path.getmtime(os.path.join(w1dir, f)) for f in os.listdir(w1dir)}
+        assert after == before
+        # reload parity: window 1 contains its items
+        sk = ws.load("2024-01-01")
+        assert sk.contains(b"a0") and sk.contains(b"late_x") and not sk.contains(b"zz")
+
+    def test_retention_deletes_old_windows_probe_set_stable(self, tmp_path):
+        from probabilistic_rs_spark.chunkstore import WindowedBloomChunkStores
+        from probabilistic_rs_spark.sketches.bloom import BloomSketch
+
+        ws = WindowedBloomChunkStores(str(tmp_path / "w"), self._cfg(), num_levels=2)
+        for i, wk in enumerate(["2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22"]):
+            ws.absorb(wk, self._blob([f"w{i}_{j}".encode() for j in range(500)]))
+        active_before = ws.active_level_states()
+        assert [k for k, _ in active_before] == ["2024-01-15", "2024-01-22"]
+        doomed = ws.enforce_retention()
+        assert doomed == ["2024-01-01", "2024-01-08"]
+        assert ws.windows() == ["2024-01-15", "2024-01-22"]
+        active_after = ws.active_level_states()
+        # probe view over the active set is unchanged by retention
+        assert [k for k, _ in active_after] == [k for k, _ in active_before]
+        for (_, a), (_, b) in zip(active_after, active_before):
+            assert BloomSketch.from_bytes(a).bits.tobytes() == BloomSketch.from_bytes(b).bits.tobytes()
+
+    def test_level_cap_and_bad_key(self, tmp_path):
+        from probabilistic_rs_spark.chunkstore import WindowedBloomChunkStores
+        from probabilistic_rs_spark.errors import SketchConfigError
+
+        with pytest.raises(SketchConfigError, match="1..=255"):
+            WindowedBloomChunkStores(str(tmp_path / "w"), self._cfg(), num_levels=256)
+        ws = WindowedBloomChunkStores(str(tmp_path / "w"), self._cfg())
+        with pytest.raises(SketchConfigError, match="invalid window key"):
+            ws.absorb("../evil", b"")
+
+
+class TestConfigJsonRoundTrip:
+    """Config serialization parity tests (reference
+    tests/core_bloom_config_validation_tests.rs:455-675: round-trip with
+    custom values, corrupted-input failure, error-message content)."""
+
+    def test_chunk_store_config_round_trip_custom_values(self, tmp_path):
+        from probabilistic_rs_spark.chunkstore import BloomChunkStore
+        from probabilistic_rs_spark.sketches.bloom import BloomConfig
+
+        cfg = BloomConfig(capacity=123_456, false_positive_rate=0.007, chunk_size_bytes=1024)
+        d = str(tmp_path / "s")
+        BloomChunkStore.create(d, cfg)
+        _, sk = BloomChunkStore.load(d)
+        assert sk.config == cfg  # persisted config wins, all custom fields intact
+        # derived params recomputed identically from the round-tripped config
+        from probabilistic_rs_spark.sketches.bloom import BloomSketch
+
+        ref = BloomSketch(cfg)
+        assert (sk.m, sk.k) == (ref.m, ref.k)
+
+    def test_corrupted_config_json_fails(self, tmp_path):
+        from probabilistic_rs_spark.chunkstore import BloomChunkStore
+        from probabilistic_rs_spark.sketches.bloom import BloomConfig
+
+        d = str(tmp_path / "s")
+        store = BloomChunkStore.create(d, BloomConfig(capacity=1000))
+        with open(store.meta_path, "w") as f:
+            f.write('{"capacity": 1000, "false_po')  # truncated mid-key
+        with pytest.raises(Exception):
+            BloomChunkStore.load(d)
+
+    def test_validation_error_messages_match_reference(self):
+        """Error-message content parity (reference asserts exact strings,
+        tests/core_bloom_config_validation_tests.rs:646-675)."""
+        from probabilistic_rs_spark.errors import SketchConfigError
+        from probabilistic_rs_spark.sketches.bloom import BloomConfig
+
+        with pytest.raises(SketchConfigError, match="Capacity must be greater than 0"):
+            BloomConfig(capacity=0).validate()
+        with pytest.raises(
+            SketchConfigError, match="False positive rate must be between 0 and 1"
+        ):
+            BloomConfig(false_positive_rate=1.5).validate()
+        with pytest.raises(SketchConfigError, match="Chunk size must be greater than 0"):
+            BloomConfig(chunk_size_bytes=0).validate()
