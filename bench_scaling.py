@@ -93,12 +93,22 @@ def job():
                  [round(float(x), 6) for x in row["ts_q"]])
     return 5 * int(row["n_updates"]), digest, quantiles
 
+def cpu_stat():
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:9]]
+    # busy = user+nice+system+irq+softirq (jiffies, HZ=100)
+    return (v[0] + v[1] + v[2] + v[5] + v[6]) / 100.0
+
 job()  # warm: JVM JIT, python workers, page cache
-best, updates, digest, quantiles = None, 0, None, None
+best, best_busy, updates, digest, quantiles = None, None, 0, None, None
 for _ in range(2):
-    t0 = time.perf_counter(); (updates, digest, quantiles) = job(); dt = time.perf_counter() - t0
-    best = dt if best is None or dt < best else best
+    b0 = cpu_stat(); t0 = time.perf_counter()
+    (updates, digest, quantiles) = job()
+    dt = time.perf_counter() - t0; busy = cpu_stat() - b0
+    if best is None or dt < best:
+        best, best_busy = dt, busy
 print(json.dumps({{"cpus": cpus, "wall_s": round(best, 3),
+    "cpu_busy_s": round(best_busy, 1),
     "rows": n_rows, "sketch_updates": int(updates),
     "updates_per_sec": round(updates / best, 1),
     "estimates_digest": repr(digest), "quantiles": repr(quantiles)}}))
@@ -153,30 +163,64 @@ def main() -> None:
     # (shuffle volume is independent of row count and the reducer fan-in is
     # bounded). The 8→32 pair is reported too (SPARK_GRAFT_SCALE_FULL) as
     # evidence of that ceiling.
-    n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-    pairs = [(n_small, 4 * n_small)]
+    # comma-separated N list: each N yields an (N, 4N) pair. Default 1,2:
+    # the 1->4 pair is the one where BOTH levels stay below the microVM's
+    # absolute update ceiling (~2M updates/s), so the ratio measures the
+    # plan; 2->8 is reported alongside (8 cores now reaches the ceiling).
+    n_smalls = [
+        int(x) for x in os.environ.get("SPARK_GRAFT_SCALE_N", "1,2").split(",") if x
+    ]
+    pairs = [(n, 4 * n) for n in n_smalls]
     if os.environ.get("SPARK_GRAFT_SCALE_FULL"):
         pairs.append((8, 32))
     rounds = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3")))
     levels: list[int] = sorted({c for p in pairs for c in p})
     best: dict[int, dict] = {}
-    # interleave levels across rounds and keep the per-level minimum: the
-    # host has minutes-long contention bursts, and adjacent N/4N runs with
-    # min-of-rounds sample comparable noise windows
+    samples: list[dict[int, dict]] = []
+    # interleave levels within each round: an (N, 4N) pair measured
+    # back-to-back shares the host's ambient conditions (the box has
+    # minutes-long contention/steal bursts that otherwise corrupt the
+    # ratio when a lucky N sample meets an unlucky 4N sample)
     for _ in range(rounds):
+        snap: dict[int, dict] = {}
         for cpus in levels:
             r = run_level(cpus, pages)
+            snap[cpus] = r
             b = best.get(cpus)
             best[cpus] = r if b is None or r["wall_s"] < b["wall_s"] else b
+        samples.append(snap)
     results = []
     for n, n4 in pairs:
         rn, r4 = best[n], best[n4]
-        eff = (rn["wall_s"] / r4["wall_s"]) / 4.0
+        # headline: median of per-round PAIRED efficiencies (same-round
+        # N and 4N walls), robust to cross-round host-speed drift; the
+        # min-wall ratio is reported too
+        paired = sorted(s[n]["wall_s"] / s[n4]["wall_s"] / 4.0 for s in samples)
+        eff_paired = paired[len(paired) // 2] if rounds % 2 else (
+            (paired[rounds // 2 - 1] + paired[rounds // 2]) / 2.0
+        )
+        eff_minwall = (rn["wall_s"] / r4["wall_s"]) / 4.0
+        # work conservation: total busy CPU should be parallelism-
+        # invariant if the plan adds no overhead with more cores
+        work_ratio = (
+            round(rn["cpu_busy_s"] / r4["cpu_busy_s"], 3)
+            if rn.get("cpu_busy_s") and r4.get("cpu_busy_s")
+            else None
+        )
+        util_4n = (
+            round(r4["cpu_busy_s"] / (n4 * r4["wall_s"]), 3)
+            if r4.get("cpu_busy_s")
+            else None
+        )
         results.append(
             {
                 "metric": f"scaling_efficiency_{n}_to_{n4}_cores",
-                "value": round(eff, 3),
+                "value": round(eff_paired, 3),
                 "unit": "fraction",
+                "eff_paired_median": round(eff_paired, 3),
+                "eff_min_wall": round(eff_minwall, 3),
+                "cpu_work_ratio_N_over_4N": work_ratio,
+                "utilization_at_4N": util_4n,
                 "n_rows": N_ROWS,
                 "rounds": rounds,
                 "N": rn,
@@ -185,7 +229,7 @@ def main() -> None:
                 # at every parallelism level (north_rule)
                 "identical_estimates": rn.get("estimates_digest")
                 == r4.get("estimates_digest"),
-                "passes_north_rule": eff >= 0.8,
+                "passes_north_rule": eff_paired >= 0.8,
             }
         )
     for r in results:

@@ -164,10 +164,36 @@ def _pad_batch(items: np.ndarray | list[bytes]) -> tuple[np.ndarray, np.ndarray]
     return buf, lens
 
 
-def pad_batch_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
+# long-lived padded-buffer scratch, keyed by caller slot. Python workers
+# are reused across tasks (spark.python.worker.reuse), so one warm buffer
+# per slot serves every task on the worker instead of fresh-faulting a
+# multi-MB np.zeros per Arrow batch. Callers pass a slot name unique to
+# their column so two live pads in one batch can never alias.
+_PAD_SCRATCH: dict[str, np.ndarray] = {}
+
+
+def _scratch_matrix(key: str | None, n: int, maxlen: int) -> np.ndarray:
+    if key is None:
+        return np.zeros((n, maxlen), dtype=np.uint8)
+    need = n * maxlen
+    buf = _PAD_SCRATCH.get(key)
+    if buf is None or buf.size < need:
+        buf = np.zeros(int(need * 1.25) + 4096, dtype=np.uint8)
+        _PAD_SCRATCH[key] = buf
+        return buf[:need].reshape(n, maxlen)
+    view = buf[:need].reshape(n, maxlen)
+    view.fill(0)  # memset over warm pages — cheap vs fresh page faults
+    return view
+
+
+def pad_batch_arrow(arr, scratch_key: str | None = None) -> tuple[np.ndarray, np.ndarray]:
     """Pack an Arrow binary/string array into (N, maxlen) uint8 + lengths
     WITHOUT per-row Python: reads the Arrow offsets+data buffers directly
     and scatters with one vectorized gather. Null entries become length 0.
+
+    ``scratch_key``: reuse a worker-lifetime scratch buffer for the padded
+    matrix (see ``_PAD_SCRATCH``). The returned matrix is only valid until
+    the next ``pad_batch_arrow`` call with the same key.
     """
     import pyarrow as pa
 
@@ -187,7 +213,7 @@ def pad_batch_arrow(arr) -> tuple[np.ndarray, np.ndarray]:
     n = len(arr)
     maxlen = int(lens.max()) if n and lens.max() > 0 else 0
     maxlen = ((maxlen + 4) // 4) * 4
-    out = np.zeros((n, maxlen), dtype=np.uint8)
+    out = _scratch_matrix(scratch_key, n, maxlen)
     if maxlen and n:
         # column-at-a-time copy: O(maxlen) small vector ops, never a
         # total-sized int64 index array (large fresh allocations fault
@@ -230,15 +256,27 @@ def murmur3_32_batch(buf: np.ndarray, lens: np.ndarray, seed: int = 0) -> np.nda
         )
     nblocks = (lens // 4).astype(np.int64)
     max_blocks = int(nblocks.max()) if n else 0
+    # in-place block loop: zero fresh allocations per block (the naive
+    # expression form churns ~5 quarter-MB temporaries per block per
+    # batch — real memory-fault cost on microVM hosts)
+    k = np.empty(n, dtype=U32)
+    hj = np.empty(n, dtype=U32)
+    tmp = np.empty(n, dtype=U32)
+    mask = np.empty(n, dtype=bool)
     for j in range(max_blocks):
-        mask = nblocks > j
-        k = (blocks[:, j] * c1).astype(U32)
-        k = ((k << U32(15)) | (k >> U32(17))).astype(U32)
-        k = (k * c2).astype(U32)
-        hj = h ^ k
-        hj = ((hj << U32(13)) | (hj >> U32(19))).astype(U32)
-        hj = (hj * U32(5) + U32(0xE6546B64)).astype(U32)
-        h = np.where(mask, hj, h)
+        np.multiply(blocks[:, j], c1, out=k)
+        np.left_shift(k, 15, out=tmp)
+        np.right_shift(k, 17, out=k)
+        np.bitwise_or(tmp, k, out=k)
+        np.multiply(k, c2, out=k)
+        np.bitwise_xor(h, k, out=hj)
+        np.left_shift(hj, 13, out=tmp)
+        np.right_shift(hj, 19, out=hj)
+        np.bitwise_or(tmp, hj, out=hj)
+        np.multiply(hj, U32(5), out=hj)
+        np.add(hj, U32(0xE6546B64), out=hj)
+        np.greater(nblocks, j, out=mask)
+        np.copyto(h, hj, where=mask)
     # tail (1-3 trailing bytes)
     tail_len = (lens % 4).astype(np.int64)
     base = (nblocks * 4).astype(np.int64)
@@ -302,17 +340,19 @@ def fnv1a64_batch(buf: np.ndarray, lens: np.ndarray) -> np.ndarray:
 def bloom_index_padded(
     buf: np.ndarray, lens: np.ndarray, num_hashes: int, capacity: int
 ) -> np.ndarray:
-    """(N, k) int64 matrix of Bloom bit indices from a padded batch.
+    """(N, k) uint32 matrix of Bloom bit indices from a padded batch.
 
     Bit-identical to the reference's per-item
-    ``default_hash_function(item, k, m)`` (``src/hash.rs:67-77``).
+    ``default_hash_function(item, k, m)`` (``src/hash.rs:67-77``); u32
+    output by construction (the reference's indices are u32,
+    ``src/hash.rs:31``) — no int64 widening, halving index-matrix memory
+    traffic on the build hot path.
     """
     h1 = murmur3_32_batch(buf, lens)
     h2 = (fnv1a64_batch(buf, lens) & U64(_M32)).astype(U32)
     i = np.arange(num_hashes, dtype=U32)
     with np.errstate(over="ignore"):
-        idx = (h1[:, None] + i[None, :] * h2[:, None]).astype(U32) % U32(capacity)
-    return idx.astype(np.int64)
+        return (h1[:, None] + i[None, :] * h2[:, None]).astype(U32) % U32(capacity)
 
 
 def bloom_index_batch(

@@ -83,7 +83,9 @@ def bloom_probe(
         from probabilistic_rs_spark.functions.hashing import pad_batch_arrow
 
         sk = _get_filter(key, bc.value)
-        buf, lens = pad_batch_arrow(pa.Array.from_pandas(items, type=pa.string()))
+        buf, lens = pad_batch_arrow(
+            pa.Array.from_pandas(items, type=pa.string()), scratch_key="bloom_probe"
+        )
         return pd.Series(sk.contains_padded(buf, lens))
 
     return probe_df.withColumn(out_col, probe(F.col(item_col).cast("string")))

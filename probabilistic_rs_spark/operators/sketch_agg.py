@@ -149,7 +149,10 @@ def _prepare_value(spec: SketchSpec, batch, colname: str):
         return a.astype(np.int64, copy=False).view(np.uint64)
     if vk == "float":
         return arr.to_numpy(zero_copy_only=False)  # nulls → NaN, dropped in kernel
-    return pad_batch_arrow(arr)
+    # per-spec scratch slot: the padded matrix is reused across batches
+    # and tasks on this worker; the slot name keeps two byte-kind specs
+    # in one batch from aliasing
+    return pad_batch_arrow(arr, scratch_key=f"sketch:{colname}")
 
 
 def sketch_partials(

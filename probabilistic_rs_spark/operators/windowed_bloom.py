@@ -175,7 +175,9 @@ def probe_recent(
         from probabilistic_rs_spark.functions.hashing import pad_batch_arrow
 
         levels = [BloomSketch.from_bytes(b) for b in bc.value]
-        buf, lens = pad_batch_arrow(pa.Array.from_pandas(items, type=pa.string()))
+        buf, lens = pad_batch_arrow(
+            pa.Array.from_pandas(items, type=pa.string()), scratch_key="wb_probe"
+        )
         res = np.zeros(len(lens), dtype=bool)
         for lv in levels:
             res |= lv.contains_padded(buf, lens)

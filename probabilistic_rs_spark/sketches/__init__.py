@@ -11,7 +11,11 @@ library is, in effect, built around (SURVEY.md §2.7):
   travels through Spark shuffles as a ``BinaryType`` column
 """
 
-from probabilistic_rs_spark.sketches.bloom import BloomConfig, BloomSketch
+from probabilistic_rs_spark.sketches.bloom import (
+    BloomConfig,
+    BloomPartialBuilder,
+    BloomSketch,
+)
 from probabilistic_rs_spark.sketches.cms import CountMinSketch
 from probabilistic_rs_spark.sketches.hll import HyperLogLog
 from probabilistic_rs_spark.sketches.kll import KLLSketch
@@ -19,6 +23,7 @@ from probabilistic_rs_spark.sketches.tdigest import TDigest
 
 __all__ = [
     "BloomConfig",
+    "BloomPartialBuilder",
     "BloomSketch",
     "HyperLogLog",
     "CountMinSketch",

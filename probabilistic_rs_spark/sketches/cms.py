@@ -47,14 +47,15 @@ class CountMinSketch:
 
     def _cells(self, hashes: np.ndarray) -> np.ndarray:
         """(d, n) column indices from one 64-bit hash per item via
-        double hashing; h2 forced odd so strides cover the full row."""
+        double hashing; h2 forced odd so strides cover the full row.
+        uint32 output (w ≤ 2³²) — half the index-matrix memory traffic."""
         h = hashes.astype(U64, copy=False)
         h1 = h >> U64(32)
         h2 = (h & U64(0xFFFFFFFF)) | U64(1)
         j = np.arange(self.d, dtype=U64)[:, None]
         mask = U64(self.w - 1)
         with np.errstate(over="ignore"):
-            return ((h1[None, :] + j * h2[None, :]) & mask).astype(np.int64)
+            return ((h1[None, :] + j * h2[None, :]) & mask).astype(np.uint32)
 
     def update_hashes(self, hashes: np.ndarray, counts: np.ndarray | None = None) -> None:
         n = len(hashes)

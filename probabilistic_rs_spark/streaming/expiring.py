@@ -111,7 +111,10 @@ def streaming_windowed_sketch(
 
                 from probabilistic_rs_spark.functions.hashing import pad_batch_arrow
 
-                buf, lens = pad_batch_arrow(pa.Array.from_pandas(vals, type=pa.string()))
+                buf, lens = pad_batch_arrow(
+                    pa.Array.from_pandas(vals, type=pa.string()),
+                    scratch_key="stream_bloom",
+                )
                 sk.update_padded(buf, lens)
         blob = sk.to_bytes()
         state.update((blob, n))
