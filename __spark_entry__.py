@@ -419,6 +419,42 @@ def _q_streaming_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_sample_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-reservoir sample: 5 uniform orders per
+    o_orderpriority. Priority = md5-derived (engine-portable), so the
+    DuckDB oracle reproduces the EXACT same sample; the global variant
+    compiles to TakeOrderedAndProject (per-partition top-k, no full
+    sort)."""
+    from probabilistic_rs_spark.operators.sampling import hash_reservoir_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    return hash_reservoir_sample(
+        orders, "o_orderkey", k=5, group_cols=["o_orderpriority"]
+    )
+
+
+def _q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-state set algebra: |A ∩ B| of distinct users between
+    every pair of event types via HLL inclusion–exclusion — three
+    register-max merges per pair, input scanned exactly once for the
+    state build (exact in sparse mode at this scale)."""
+    from probabilistic_rs_spark.operators.rollup import with_hll_intersection
+    from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    spec = SketchSpec("u", "hll", "user_id", {"p": 14})
+    states = sketch_aggregate(ev, ["event_type"], [spec]).select(
+        "event_type", "u_state"
+    )
+    a = states.select(F.col("event_type").alias("type_a"), F.col("u_state").alias("__sa"))
+    b = states.select(F.col("event_type").alias("type_b"), F.col("u_state").alias("__sb"))
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    out = with_hll_intersection(pairs, "__sa", "__sb", "n_intersection")
+    return out.where(F.col("n_intersection") > 0).select(
+        "type_a", "type_b", "n_intersection"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis / multimodal
 # ---------------------------------------------------------------------------
@@ -558,6 +594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_probe_event_counts": _q_cms_probe_event_counts,
         "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
         "streaming_windowed_bloom_recent_users": _q_streaming_windowed_bloom_recent_users,
+        "sample_orders_per_priority": _q_sample_orders_per_priority,
+        "hll_event_type_user_overlap": _q_hll_user_overlap,
         "dedup_exact_text": _q_dedup_exact,
         "dedup_ngram_jaccard_pairs": _q_ngram_jaccard,
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
@@ -642,6 +680,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "
             "FROM events)"
         ),
+        "sample_orders_per_priority": _SAMPLE_ORDERS_SQL,
+        "hll_event_type_user_overlap": (
+            "SELECT ta AS type_a, tb AS type_b, count(*)::BIGINT AS n_intersection FROM ("
+            "  SELECT DISTINCT a.event_type ta, b.event_type tb, a.user_id "
+            "  FROM events a JOIN events b "
+            "  ON a.user_id = b.user_id AND a.event_type < b.event_type) "
+            "GROUP BY ta, tb"
+        ),
         "dedup_exact_text": (
             "SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id, "
             "count(*)::BIGINT AS n_dups FROM documents GROUP BY text"
@@ -708,6 +754,14 @@ def oracle_sql() -> dict[str, str]:
 
 
 # shared oracle fragments (DuckDB dialect) -----------------------------------
+
+def _make_sample_orders_sql() -> str:
+    from probabilistic_rs_spark.operators.sampling import priority_sample_sql
+
+    return priority_sample_sql("orders", "o_orderkey", 5, ["o_orderpriority"])
+
+
+_SAMPLE_ORDERS_SQL = _make_sample_orders_sql()
 
 _JACCARD_PAIRS_SQL = (
     "WITH d AS (SELECT doc_id, string_split(text, ' ') w FROM documents), "

@@ -55,3 +55,41 @@ def reaggregate_states(
         *coarser_cols, "__pid", *[s.state_col for s in specs], "n_updates"
     )
     return sketch_merge(partials, coarser_cols, specs, tree_fanin=tree_fanin)
+
+
+def with_hll_intersection(
+    df: DataFrame,
+    state_a_col: str,
+    state_b_col: str,
+    out_col: str = "n_intersection",
+) -> DataFrame:
+    """Set-algebra over mergeable HLL states: estimate |A ∩ B| by
+    inclusion–exclusion, ``|A| + |B| − |A ∪ B|``, where the union is one
+    register-max merge — no input rescan. In sparse mode (both states
+    below their sparse threshold) all three terms are exact distinct
+    counts, so the intersection is exact up to 64-bit hash collisions; in
+    dense mode the error compounds to ~3 sketch standard errors, the
+    textbook inclusion–exclusion caveat. Adds a bigint column, clamped at
+    0 (the estimator can go slightly negative for near-disjoint sets)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    from probabilistic_rs_spark.sketches.hll import HyperLogLog
+
+    def _inter(a, b):
+        out = []
+        for ab, bb in zip(a, b):
+            ha = HyperLogLog.from_bytes(bytes(ab))
+            hb = HyperLogLog.from_bytes(bytes(bb))
+            union = HyperLogLog.from_bytes(bytes(ab)).merge(hb)
+            est = ha.estimate() + hb.estimate() - union.estimate()
+            out.append(max(0, int(round(est))))
+        return pd.Series(out, dtype="int64")
+
+    # real annotation objects (this module uses PEP-563 string annotations,
+    # which pyspark's multi-arg pandas_udf signature check rejects)
+    _inter.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    inter = pandas_udf(LongType())(_inter)
+
+    return df.withColumn(out_col, inter(F.col(state_a_col), F.col(state_b_col)))

@@ -337,3 +337,56 @@ def test_cms_probe_matches_exact_counts(spark, pages):
         | (F.col("est_count") > F.col("count") + F.lit(eps_bound))
     ).count()
     assert bad == 0
+
+
+def test_hash_reservoir_sample_uniform_and_deterministic(spark):
+    from probabilistic_rs_spark.operators.sampling import hash_reservoir_sample
+
+    df = spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("g")
+    )
+    s1 = hash_reservoir_sample(df, "id", k=10, group_cols=["g"]).collect()
+    s2 = hash_reservoir_sample(df.repartition(13), "id", k=10, group_cols=["g"]).collect()
+    by_g = {}
+    for r in s1:
+        by_g.setdefault(r["g"], set()).add(r["id"])
+    assert set(by_g) == {"0", "1", "2", "3"}
+    assert all(len(v) == 10 for v in by_g.values())
+    # partitioning-invariant (priority is a pure function of the id)
+    assert {(r["g"], r["id"], r["sample_rank"]) for r in s1} == {
+        (r["g"], r["id"], r["sample_rank"]) for r in s2
+    }
+    # a different seed gives a different sample (md5 avalanche)
+    s3 = hash_reservoir_sample(df, "id", k=10, group_cols=["g"], seed="other").collect()
+    assert {r["id"] for r in s3} != {r["id"] for r in s1}
+    # global variant: distributed top-k plan, exact k rows, rank total order
+    g = hash_reservoir_sample(df, "id", k=25).collect()
+    assert len(g) == 25 and sorted(r["sample_rank"] for r in g) == list(range(1, 26))
+
+
+def test_hash_reservoir_sample_is_statistically_uniform(spark):
+    """Chi-square-ish sanity: sampling 500 of 10k ids ~uniformly should
+    cover both halves of the id range roughly evenly."""
+    from probabilistic_rs_spark.operators.sampling import hash_reservoir_sample
+
+    df = spark.range(10_000).select(F.col("id"))
+    s = hash_reservoir_sample(df, "id", k=500).collect()
+    low = sum(1 for r in s if r["id"] < 5000)
+    assert 180 <= low <= 320  # ~250 expected; 6-sigma-ish band
+
+
+def test_hll_intersection_matches_exact_in_sparse_mode(spark):
+    from probabilistic_rs_spark.operators.rollup import with_hll_intersection
+    from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+
+    # two overlapping user populations: A = 0..999, B = 500..1499
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.lit("A")).otherwise(F.lit("B")).alias("t"),
+        F.when(F.col("id") < 1000, F.col("id")).otherwise(F.col("id") - 500).alias("u"),
+    )
+    spec = SketchSpec("s", "hll", "u", {"p": 14})
+    st = sketch_aggregate(df, ["t"], [spec])
+    a = st.where("t = 'A'").select(F.col("s_state").alias("sa"))
+    b = st.where("t = 'B'").select(F.col("s_state").alias("sb"))
+    row = with_hll_intersection(a.crossJoin(b), "sa", "sb").head()
+    assert row["n_intersection"] == 500  # exact in sparse mode
