@@ -1,0 +1,75 @@
+"""Physical-plan hygiene: the properties that matter at 100 TB must be
+visible in the executed plan, not just assumed — column pruning reaching
+the parquet scan, predicate pushdown, broadcast probes with no exchange,
+and no cartesian products in candidate-generation joins."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+class TestScanHygiene:
+    def test_sketch_build_prunes_unread_columns(self, spark):
+        """The north-star single-pass job must NOT read `html` (the
+        widest column): explicit select before mapInArrow puts only the
+        4 needed columns in ReadSchema."""
+        from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_partials
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        proj = li.select("l_orderkey", "l_extendedprice")
+        partials = sketch_partials(
+            proj, [], [SketchSpec("h", "hll", "l_orderkey", {"p": 12})]
+        )
+        plan = _executed(partials)
+        assert "l_orderkey" in plan
+        # pruned: the scan schema must not include unused wide columns
+        scan_line = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert scan_line, plan
+        assert "l_comment" not in scan_line[0] and "l_shipdate" not in scan_line[0]
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        orders = spark.read.parquet(f"{SF}/orders.parquet").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        plan = _executed(orders.select("o_orderkey"))
+        assert "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority,1-URGENT)" in plan
+
+    def test_bloom_probe_plan_has_no_exchange(self, spark):
+        """The broadcast probe is map-side only: zero shuffles in the
+        probe stage (the filter state rides a broadcast variable)."""
+        from probabilistic_rs_spark.operators.membership import bloom_probe, build_bloom_state
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        state = build_bloom_state(orders, "o_orderkey", capacity=50_000)
+        probed = bloom_probe(orders.select("o_orderkey"), "o_orderkey", state)
+        plan = _executed(probed)
+        assert "Exchange" not in plan
+
+    def test_simhash_and_lsh_joins_are_not_cartesian(self, spark):
+        from probabilistic_rs_spark.operators.dedup import simhash_pairs
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+        plan = _executed(simhash_pairs(docs, "doc_id", "text", max_hamming=4))
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    def test_global_sample_uses_distributed_topk(self, spark):
+        from probabilistic_rs_spark.operators.sampling import hash_reservoir_sample
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        s = hash_reservoir_sample(orders, "o_orderkey", k=10)
+        plan = _executed(s)
+        # Catalyst compiles orderBy+limit to TakeOrderedAndProject —
+        # per-partition top-k, never a global sort of all rows
+        assert "TakeOrderedAndProject" in plan
+        assert "Sort " not in plan.replace("TakeOrderedAndProject", "")
