@@ -498,6 +498,28 @@ def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the SimHash pair
+    graph via iterative min-label propagation (two hash-shuffles per
+    round, O(V+E) state rows, no driver-side graph)."""
+    from probabilistic_rs_spark.operators.components import connected_components
+    from probabilistic_rs_spark.operators.dedup import simhash_pairs
+
+    pairs = simhash_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=8)
+    return connected_components(pairs)
+
+
+def _q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One canonical doc per duplicate cluster (min doc_id survives),
+    singletons pass through; n_cluster = cluster size."""
+    from probabilistic_rs_spark.operators.components import canonical_docs
+    from probabilistic_rs_spark.operators.dedup import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+    return canonical_docs(docs, "doc_id", pairs).select("doc_id", "n_cluster")
+
+
 def _q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from probabilistic_rs_spark.operators.dedup import embedding_cosine_pairs
 
@@ -601,6 +623,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_fingerprints": _q_simhash_fingerprints,
         "simhash_dup_pairs": _q_simhash_pairs,
+        "dedup_components": _q_dedup_components,
+        "dedup_canonical_docs": _q_dedup_canonical_docs,
         "embedding_cosine_neardup": _q_embedding_cosine_neardup,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "text_stats": _q_text_stats,
@@ -701,6 +725,32 @@ def oracle_sql() -> dict[str, str]:
             "bit_count(xor(a.simhash, b.simhash))::INT AS hamming "
             "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 8"
+        ),
+        "dedup_components": (
+            "WITH RECURSIVE sim AS (" + _SIMHASH_SQL + "), "
+            "pairs AS (SELECT a.doc_id id_a, b.doc_id id_b FROM sim a JOIN sim b "
+            "  ON a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), "
+            "edges AS (SELECT id_a s, id_b d FROM pairs "
+            "  UNION SELECT id_b, id_a FROM pairs), "
+            "reach(v, r) AS (SELECT s, s FROM edges "
+            "  UNION SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.v) "
+            "SELECT v AS vertex, min(r)::BIGINT AS component FROM reach GROUP BY v"
+        ),
+        "dedup_canonical_docs": (
+            "WITH RECURSIVE sim AS (" + _SIMHASH_SQL + "), "
+            "pairs AS (SELECT a.doc_id id_a, b.doc_id id_b FROM sim a JOIN sim b "
+            "  ON a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 8), "
+            "edges AS (SELECT id_a s, id_b d FROM pairs "
+            "  UNION SELECT id_b, id_a FROM pairs), "
+            "reach(v, r) AS (SELECT s, s FROM edges "
+            "  UNION SELECT e.d, r.r FROM reach r JOIN edges e ON e.s = r.v), "
+            "comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v), "
+            "sizes AS (SELECT component, count(*)::BIGINT AS n_cluster FROM comp GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(s.n_cluster, 1)::BIGINT AS n_cluster "
+            "FROM documents d "
+            "LEFT JOIN comp c ON d.doc_id = c.v "
+            "LEFT JOIN sizes s ON c.component = s.component "
+            "WHERE c.v IS NULL OR d.doc_id = c.component"
         ),
         "embedding_cosine_neardup": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings) "

@@ -437,3 +437,56 @@ class TestMultimodal:
         df = spark.createDataFrame([(1, bytearray(b"abc"))], "id long, payload binary")
         r = decode_and_featurize(df, "payload", ["id"], decoder=decoder).collect()[0]
         assert r["features"] == [0.5] * FEATURE_DIM
+
+
+class TestConnectedComponents:
+    def _union_find(self, pairs):
+        parent = {}
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    def test_components_match_union_find(self, spark):
+        from probabilistic_rs_spark.operators.components import connected_components
+
+        # chain + triangle + isolated pair + a larger star
+        pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+                 (20, 21), (30, 31), (30, 32), (30, 33), (30, 34)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df).collect()
+        }
+        want = self._union_find(pairs)
+        assert got == want
+
+    def test_components_on_simhash_pairs(self, docs):
+        from probabilistic_rs_spark.operators.components import connected_components
+        from probabilistic_rs_spark.operators.dedup import simhash_pairs
+
+        pairs_df = simhash_pairs(docs, "doc_id", "text", max_hamming=8)
+        pairs = [(r["id_a"], r["id_b"]) for r in pairs_df.collect()]
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(pairs_df).collect()
+        }
+        assert got == self._union_find(pairs)
+
+    def test_canonical_docs_keeps_min_and_singletons(self, spark):
+        from probabilistic_rs_spark.operators.components import canonical_docs
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(8)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame([(1, 2), (2, 5), (6, 7)], "id_a long, id_b long")
+        out = {r["doc_id"]: r["n_cluster"] for r in canonical_docs(docs, "doc_id", pairs).collect()}
+        # clusters {1,2,5} -> keep 1 (size 3); {6,7} -> keep 6 (size 2);
+        # singletons 0,3,4 pass through with n_cluster 1
+        assert out == {0: 1, 1: 3, 3: 1, 4: 1, 6: 2}
