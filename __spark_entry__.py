@@ -570,6 +570,23 @@ def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation gate over documents (+ injected exact copies so
+    the duplicate gate fires): too_short / too_long / low_quality /
+    wrong_lang / duplicate / kept, one scan + one digest shuffle."""
+    from probabilistic_rs_spark.operators.curation import curate_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = docs.union(
+        docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text"
+        )
+    )
+    return curate_documents(
+        aug, min_tokens=20, max_tokens=80, min_quality=0.75, allowed_langs=["en"]
+    )
+
+
 def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from probabilistic_rs_spark.operators.multimodal import media_metadata
 
@@ -630,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
+        "curate_documents": _q_curate_documents,
         "media_metadata_html": _q_media_metadata,
         "media_featurize_check": _q_media_featurize_check,
     }
@@ -792,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
             " FOR i IN range(1, greatest(length(text) - 15, 1) + 1)])::BIGINT AS fp "
             "FROM documents"
         ),
+        "curate_documents": _CURATE_SQL,
         "media_metadata_html": (
             "SELECT doc_id, 'html' AS media_type, "
             "(12 + length(text))::BIGINT AS n_bytes, "
@@ -834,6 +853,17 @@ _SIMHASH_SQL = (
     ") GROUP BY doc_id"
 )
 
+_QUALITY_EXPR = (
+    "round(0.4 * least(1.0, len(string_split(text, ' ')) / 64.0) "
+    "  + 0.3 * (1.0 - least(1.0, 4.0 * "
+    "      (length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE "
+    "       / greatest(length(text), 1)))) "
+    "  + 0.3 * (CASE WHEN "
+    "      list_sum([length(x) FOR x IN string_split(text, ' ')])::DOUBLE "
+    "        / greatest(len(string_split(text, ' ')), 1) BETWEEN 3.0 AND 8.0 "
+    "      THEN 1.0 ELSE 0.5 END), 6)"
+)
+
 _LANG_ID_SQL = (
     "WITH t AS (SELECT doc_id, string_split(lower(trim(text)), ' ') w FROM documents), "
     "h AS (SELECT doc_id, "
@@ -849,4 +879,26 @@ _LANG_ID_SQL = (
     "  WHEN best > 0 AND s_es = best THEN 'es' "
     "  WHEN best > 0 AND s_fr = best THEN 'fr' "
     "  ELSE 'und' END AS pred_lang FROM m"
+)
+
+_CURATE_SQL = (
+    "WITH aug AS ("
+    "  SELECT doc_id, text FROM documents"
+    "  UNION ALL"
+    "  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0), "
+    "lang AS (" + _LANG_ID_SQL.replace("FROM documents", "FROM aug") + "), "
+    "t AS (SELECT doc_id, text, len(string_split(text, ' ')) ntok, "
+    + _QUALITY_EXPR + " AS q FROM aug), "
+    "base AS (SELECT t.doc_id, text, "
+    "  CASE WHEN ntok < 20 THEN 'too_short' "
+    "       WHEN ntok > 80 THEN 'too_long' "
+    "       WHEN q < 0.75 THEN 'low_quality' "
+    "       WHEN l.pred_lang NOT IN ('en') THEN 'wrong_lang' END AS rej "
+    "  FROM t JOIN lang l ON t.doc_id = l.doc_id), "
+    "ranked AS (SELECT doc_id, rej, CASE WHEN rej IS NULL THEN "
+    "  row_number() OVER (PARTITION BY text ORDER BY (rej IS NOT NULL), doc_id) "
+    "  END AS dr FROM base), "
+    "fin AS (SELECT doc_id, coalesce(rej, CASE WHEN dr > 1 THEN 'duplicate' END, "
+    "  'kept') AS reason FROM ranked) "
+    "SELECT doc_id, reason = 'kept' AS keep, reason FROM fin"
 )

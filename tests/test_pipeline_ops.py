@@ -490,3 +490,52 @@ class TestConnectedComponents:
         # clusters {1,2,5} -> keep 1 (size 3); {6,7} -> keep 6 (size 2);
         # singletons 0,3,4 pass through with n_cluster 1
         assert out == {0: 1, 1: 3, 3: 1, 4: 1, 6: 2}
+
+
+class TestCuration:
+    def test_gate_precedence_and_dedup_no_shadowing(self, spark):
+        from probabilistic_rs_spark.operators.curation import curate_documents
+
+        good = "the quick brown fox jumps over the lazy dog and runs far away " * 2
+        rows = [
+            (1, good),                       # kept
+            (2, good),                       # duplicate of 1
+            (3, "short text"),               # too_short
+            (4, good + " filler" * 300),     # too_long
+            (5, "el la de que los es un una " * 4),  # wrong_lang (es)
+            (6, "short text"),               # too_short (NOT duplicate: 3 was rejected)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: (r["keep"], r["reason"])
+            for r in curate_documents(
+                df, min_tokens=12, max_tokens=200, min_quality=0.3, allowed_langs=["en"]
+            ).collect()
+        }
+        assert out[1] == (True, "kept")
+        assert out[2] == (False, "duplicate")
+        assert out[3] == (False, "too_short")
+        assert out[4] == (False, "too_long")
+        assert out[5] == (False, "wrong_lang")
+        # same content as a rejected doc, itself rejected structurally —
+        # never labeled duplicate (rejected docs don't shadow or count)
+        assert out[6] == (False, "too_short")
+
+    def test_rejected_doc_does_not_shadow_keepable_twin(self, spark):
+        from probabilistic_rs_spark.operators.curation import curate_documents
+
+        # doc 1 is structurally rejected (wrong lang), doc 2 has the SAME
+        # text... that can't happen (same text => same gates). Instead:
+        # two kept twins where the LOWER id must survive, regardless of
+        # input order / partitioning.
+        good = "the quick brown fox jumps over the lazy dog and runs far away " * 2
+        df = spark.createDataFrame(
+            [(9, good), (7, good), (8, good)], "doc_id long, text string"
+        ).repartition(3)
+        out = {
+            r["doc_id"]: r["reason"]
+            for r in curate_documents(
+                df, min_tokens=5, max_tokens=500, min_quality=0.1
+            ).collect()
+        }
+        assert out == {7: "kept", 8: "duplicate", 9: "duplicate"}
