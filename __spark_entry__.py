@@ -455,6 +455,63 @@ def _q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_windowed_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window HLL: distinct users per epoch-aligned 7-day
+    window maintained incrementally by applyInPandasWithState over a file
+    source (availableNow). Sparse-mode states make the estimates exact at
+    this scale, so the oracle is the plain per-week COUNT(DISTINCT)."""
+    import datetime
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from probabilistic_rs_spark.operators.sketch_agg import SketchSpec
+    from probabilistic_rs_spark.sketches.hll import HyperLogLog
+    from probabilistic_rs_spark.streaming import streaming_windowed_sketch
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="prs_stream_hll_")
+    qname = f"prs_hll_windows_{uuid.uuid4().hex[:8]}"
+    try:
+        src = f"{tmp}/src"
+        ev.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = streaming_windowed_sketch(
+            stream,
+            "ts",
+            "user_id",
+            SketchSpec("u", "hll", "user_id", {"p": 14}),
+            level_duration="7 days",
+            watermark_delay="30 days",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        res = spark.sql(f"SELECT * FROM {qname}").where(~F.col("expired"))
+        latest = res.withColumn(
+            "rn", F.row_number().over(W.partitionBy("window_start").orderBy(F.desc("n_updates")))
+        ).where("rn = 1")
+        rows = latest.select("window_start", "state").collect()
+        data = [
+            (
+                int((r["window_start"].date() - datetime.date(1970, 1, 1)).days // 7),
+                int(round(HyperLogLog.from_bytes(bytes(r["state"])).estimate())),
+            )
+            for r in rows
+        ]
+        return spark.createDataFrame(data, "week bigint, n_users bigint")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup / similarity / text analysis / multimodal
 # ---------------------------------------------------------------------------
@@ -633,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_probe_event_counts": _q_cms_probe_event_counts,
         "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
         "streaming_windowed_bloom_recent_users": _q_streaming_windowed_bloom_recent_users,
+        "streaming_windowed_hll_users": _q_streaming_windowed_hll_users,
         "sample_orders_per_priority": _q_sample_orders_per_priority,
         "hll_event_type_user_overlap": _q_hll_user_overlap,
         "dedup_exact_text": _q_dedup_exact,
@@ -721,6 +779,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) >= "
             "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "
             "FROM events)"
+        ),
+        "streaming_windowed_hll_users": (
+            "SELECT floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7)::BIGINT "
+            "AS week, count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY 1"
         ),
         "sample_orders_per_priority": _SAMPLE_ORDERS_SQL,
         "hll_event_type_user_overlap": (
