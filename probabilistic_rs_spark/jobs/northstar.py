@@ -24,8 +24,17 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# spark-submit --py-files ships the package zip; when run as a plain
+# script (smoke tests, local debugging) fall back to the repo layout —
+# PYTHONPATH must be set BEFORE the session starts so forked python
+# workers (which unpickle module-referencing closures) inherit it too
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, _REPO_ROOT)
+os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 
 def parse_args(argv):
