@@ -586,6 +586,24 @@ def _q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def _q_embedding_cosine_neardup_high(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-threshold near-dup — the regime LSH is built for: embeddings
+    plus planted exact duplicates (vec_id+10000), threshold 0.95. The
+    auto-derived (planes, tables) are much finer here (collision prob
+    q→1), candidates collapse to genuine near-dups, and recall for the
+    planted pairs is structural (identical vectors share every bucket)."""
+    from probabilistic_rs_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    aug = emb.union(
+        emb.where(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + F.lit(10000)).alias("vec_id"), "embedding"
+        )
+    )
+    out = embedding_cosine_pairs(aug, "vec_id", "embedding", threshold=0.95)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from probabilistic_rs_spark.operators.similarity import cosine_topk
 
@@ -701,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
         "embedding_cosine_neardup": _q_embedding_cosine_neardup,
+        "embedding_cosine_neardup_high": _q_embedding_cosine_neardup_high,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "text_stats": _q_text_stats,
         "text_lang_id": _q_text_lang_id,
@@ -838,6 +857,15 @@ def oracle_sql() -> dict[str, str]:
             "round(list_cosine_similarity(a.v, b.v), 4) AS cosine "
             "FROM e a JOIN e b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.4"
+        ),
+        "embedding_cosine_neardup_high": (
+            "WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), "
+            "e AS (SELECT * FROM e0 UNION ALL "
+            "      SELECT vec_id + 10000, v FROM e0 WHERE vec_id % 10 = 0) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.v, b.v), 4) AS cosine "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.95"
         ),
         "ann_cosine_topk": (
             "WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), "
