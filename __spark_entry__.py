@@ -433,6 +433,52 @@ def _q_sample_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted document sampling (Efraimidis–Spirakis over
+    md5-derived uniforms): inclusion ∝ quality_score, deterministic and
+    exactly reproducible by the SQL oracle."""
+    from probabilistic_rs_spark.functions.text import quality_score
+    from probabilistic_rs_spark.operators.sampling import hash_weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score("text").alias("w")
+    )
+    out = hash_weighted_sample(docs, "doc_id", "w", k=25)
+    return out.select("doc_id", "sample_rank")
+
+
+def _q_tdigest_cdf_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest CDF probe (inverse of the quantile query): broadcast the
+    merged digest, probe fixed price points map-side, verdict = estimated
+    rank within 0.01 of the exact rank."""
+    from probabilistic_rs_spark.operators.quantiles import (
+        build_tdigest_state,
+        tdigest_cdf_probe,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    state = build_tdigest_state(li, "l_extendedprice", delta=200.0)
+    points = [2000.0, 20000.0, 40000.0, 60000.0, 90000.0]
+    probes = spark.createDataFrame([(p,) for p in points], "price double")
+    est = {
+        float(r["price"]): float(r["cdf"])
+        for r in tdigest_cdf_probe(probes, "price", state).collect()
+    }
+    n_total = li.count()
+    aggs = [
+        (F.sum((F.col("l_extendedprice") <= F.lit(p)).cast("long")) / F.lit(n_total)).alias(
+            f"r{i}"
+        )
+        for i, p in enumerate(points)
+    ]
+    ranks = li.agg(*aggs).head()
+    data = [
+        (p, bool(abs(est[p] - float(ranks[f"r{i}"])) <= 0.01))
+        for i, p in enumerate(points)
+    ]
+    return spark.createDataFrame(data, "price double, within_bound boolean")
+
+
 def _q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-state set algebra: |A ∩ B| of distinct users between
     every pair of event types via HLL inclusion–exclusion — three
@@ -710,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_bloom_recent_users": _q_streaming_windowed_bloom_recent_users,
         "streaming_windowed_hll_users": _q_streaming_windowed_hll_users,
         "sample_orders_per_priority": _q_sample_orders_per_priority,
+        "weighted_sample_docs_by_quality": _q_weighted_sample_docs,
+        "tdigest_cdf_bounds": _q_tdigest_cdf_bounds,
         "hll_event_type_user_overlap": _q_hll_user_overlap,
         "dedup_exact_text": _q_dedup_exact,
         "dedup_ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -804,6 +852,12 @@ def oracle_sql() -> dict[str, str]:
             "AS week, count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY 1"
         ),
         "sample_orders_per_priority": _SAMPLE_ORDERS_SQL,
+        "weighted_sample_docs_by_quality": _WEIGHTED_SAMPLE_SQL,
+        "tdigest_cdf_bounds": (
+            "SELECT CAST(price AS DOUBLE) AS price, within_bound FROM (VALUES "
+            "(2000.0, TRUE), (20000.0, TRUE), (40000.0, TRUE), (60000.0, TRUE), "
+            "(90000.0, TRUE)) AS t(price, within_bound)"
+        ),
         "hll_event_type_user_overlap": (
             "SELECT ta AS type_a, tb AS type_b, count(*)::BIGINT AS n_intersection FROM ("
             "  SELECT DISTINCT a.event_type ta, b.event_type tb, a.user_id "
@@ -992,3 +1046,17 @@ _CURATE_SQL = (
     "  'kept') AS reason FROM ranked) "
     "SELECT doc_id, reason = 'kept' AS keep, reason FROM fin"
 )
+
+def _make_weighted_sample_sql() -> str:
+    from probabilistic_rs_spark.operators.sampling import weighted_sample_sql
+
+    inner = weighted_sample_sql(
+        "(SELECT doc_id, " + _QUALITY_EXPR + " AS w FROM documents)",
+        "doc_id",
+        "w",
+        25,
+    )
+    return "SELECT doc_id, sample_rank FROM (" + inner + ")"
+
+
+_WEIGHTED_SAMPLE_SQL = _make_weighted_sample_sql()

@@ -52,3 +52,46 @@ def approx_quantiles(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def tdigest_cdf_probe(
+    probe_df: DataFrame,
+    value_col: str,
+    state: bytes,
+    out_col: str = "cdf",
+) -> DataFrame:
+    """Adds a double column: the approximate rank fraction of each row's
+    value under a broadcast t-digest state — the inverse of the quantile
+    query, and the building block for quantile-bucket assignment
+    ("which decile is this document's length in?") at any scale: the
+    digest is broadcast once, the probe is a vectorized map-side batch
+    interp with zero exchanges."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from probabilistic_rs_spark.sketches.tdigest import TDigest
+
+    sc = probe_df.sparkSession.sparkContext
+    bc = sc.broadcast(state)
+
+    def _cdf(vals):
+        td = TDigest.from_bytes(bc.value)
+        return pd.Series(td.cdf_batch(vals.to_numpy(dtype="float64")))
+
+    _cdf.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    cdf_udf = pandas_udf(DoubleType())(_cdf)
+    return probe_df.withColumn(out_col, cdf_udf(F.col(value_col).cast("double")))
+
+
+def build_tdigest_state(
+    df: DataFrame, value_col: str, delta: float = 200.0, tree_fanin: int | str | None = "auto"
+) -> bytes:
+    """Distributed t-digest build over a numeric column; returns final
+    state bytes on the driver (for broadcast probing with
+    :func:`tdigest_cdf_probe`)."""
+    from probabilistic_rs_spark.operators.sketch_agg import resolve_tree_fanin
+
+    spec = SketchSpec("td", "tdigest", value_col, {"delta": delta})
+    merged = sketch_aggregate(df, [], [spec], tree_fanin=resolve_tree_fanin(df, tree_fanin))
+    return bytes(merged.select("td_state").head()["td_state"])

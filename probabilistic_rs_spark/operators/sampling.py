@@ -63,6 +63,71 @@ def hash_reservoir_sample(
     return ranked.withColumn("sample_rank", F.row_number().over(w)).drop("__pr")
 
 
+def hash_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    seed: str = "s42",
+) -> DataFrame:
+    """Deterministic WEIGHTED sample without replacement of ``k`` rows
+    (per group): inclusion probability proportional to ``weight_col``
+    (Efraimidis–Spirakis A-ES: keep the k largest ``u^(1/w)``, restated
+    as the k smallest ``-ln(u)/w`` — an exponential race).
+
+    The uniform ``u`` derives from md5 exactly as
+    :func:`hash_reservoir_sample`, and ``(h+1)/2^60`` is an exact dyadic
+    double in every engine. The race key is rounded to 9 decimals and
+    tie-broken on ``id_col`` so last-ulp ``ln`` differences between
+    engines/runtimes can never flip the selection — the sample is exactly
+    reproducible by the SQL oracle. Rows with weight ≤ 0 are excluded
+    (standard A-ES domain).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    h = _priority(id_col, seed)
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.round(-F.log(u) / F.col(weight_col).cast("double"), 9)
+    base = df.where(F.col(weight_col).cast("double") > 0)
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(key, F.col(id_col))
+        return (
+            base.withColumn("sample_rank", F.row_number().over(w))
+            .where(F.col("sample_rank") <= k)
+        )
+    ranked = base.withColumn("__k", key).orderBy(F.col("__k"), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("__k"), F.col(id_col))
+    return ranked.withColumn("sample_rank", F.row_number().over(w)).drop("__k")
+
+
+def weighted_sample_sql(
+    table: str,
+    id_col: str,
+    weight_expr: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    seed: str = "s42",
+) -> str:
+    """DuckDB oracle for :func:`hash_weighted_sample` (kept in sync)."""
+    h = f"('0x' || substr(md5('{seed}' || '#' || CAST({id_col} AS VARCHAR)), 1, 15))::UBIGINT"
+    key = f"round(-ln(({h} + 1)::DOUBLE / 1152921504606846976.0) / ({weight_expr}), 9)"
+    src = f"(SELECT * FROM {table} WHERE ({weight_expr}) > 0)"
+    if group_cols:
+        part = ", ".join(group_cols)
+        return (
+            f"SELECT * EXCLUDE (__k) FROM ("
+            f"SELECT *, {key} AS __k, row_number() OVER ("
+            f"PARTITION BY {part} ORDER BY {key}, {id_col}) AS sample_rank "
+            f"FROM {src}) WHERE sample_rank <= {k}"
+        )
+    return (
+        f"SELECT * EXCLUDE (__k) FROM ("
+        f"SELECT *, {key} AS __k, row_number() OVER (ORDER BY {key}, {id_col}) AS sample_rank "
+        f"FROM {src}) WHERE sample_rank <= {k}"
+    )
+
+
 def priority_sample_sql(
     table: str, id_col: str, k: int, group_cols: list[str] | None = None, seed: str = "s42"
 ) -> str:

@@ -115,13 +115,19 @@ class TDigest:
 
     def cdf(self, x: float) -> float:
         """Approximate rank fraction of x."""
+        return float(self.cdf_batch(np.array([x]))[0])
+
+    def cdf_batch(self, xs_in: np.ndarray) -> np.ndarray:
+        """Vectorized approximate rank fractions for a batch of values
+        (the inverse of :meth:`quantile`; one interp per Arrow batch)."""
+        xs_in = np.asarray(xs_in, dtype=np.float64)
         if len(self.means) == 0:
-            return float("nan")
+            return np.full(xs_in.shape, np.nan)
         cum = np.cumsum(self.weights)
         centers = cum - self.weights / 2.0
         xs = np.concatenate([[self.vmin], self.means, [self.vmax]])
         ps = np.concatenate([[0.0], centers, [self.total_weight]])
-        return float(np.interp(x, xs, ps) / self.total_weight)
+        return np.interp(xs_in, xs, ps) / self.total_weight
 
     @property
     def n_centroids(self) -> int:

@@ -390,3 +390,46 @@ def test_hll_intersection_matches_exact_in_sparse_mode(spark):
     b = st.where("t = 'B'").select(F.col("s_state").alias("sb"))
     row = with_hll_intersection(a.crossJoin(b), "sa", "sb").head()
     assert row["n_intersection"] == 500  # exact in sparse mode
+
+
+def test_hash_weighted_sample_bias_and_determinism(spark):
+    from probabilistic_rs_spark.operators.sampling import hash_weighted_sample
+
+    # two strata: ids 0..999 weight 9.0, ids 1000..9999 weight 1.0 —
+    # A-ES inclusion ~ proportional to weight, so the heavy 10% of rows
+    # should take a clear majority of a k=400 sample
+    df = spark.range(10_000).select(
+        F.col("id"), F.when(F.col("id") < 1000, F.lit(9.0)).otherwise(F.lit(1.0)).alias("w")
+    )
+    s = hash_weighted_sample(df, "id", "w", k=400).collect()
+    assert len(s) == 400
+    heavy = sum(1 for r in s if r["id"] < 1000)
+    # equal total mass (1000x9 vs 9000x1) -> ~half the sample comes from
+    # the heavy 10% of rows (slightly less from depletion); an unweighted
+    # sample would give ~40. Wide 6-sigma-ish band around ~195.
+    assert 140 <= heavy <= 260
+    # partitioning invariance
+    s2 = hash_weighted_sample(df.repartition(17), "id", "w", k=400).collect()
+    assert {(r["id"], r["sample_rank"]) for r in s} == {(r["id"], r["sample_rank"]) for r in s2}
+    # zero/negative weights excluded
+    df2 = spark.range(100).select(
+        F.col("id"), F.when(F.col("id") < 50, F.lit(0.0)).otherwise(F.lit(1.0)).alias("w")
+    )
+    s3 = hash_weighted_sample(df2, "id", "w", k=100).collect()
+    assert len(s3) == 50 and all(r["id"] >= 50 for r in s3)
+
+
+def test_tdigest_cdf_probe_matches_exact_ranks(spark):
+    from probabilistic_rs_spark.operators.quantiles import (
+        build_tdigest_state,
+        tdigest_cdf_probe,
+    )
+
+    df = spark.range(50_000).select((F.col("id") % 10_000).cast("double").alias("v"))
+    state = build_tdigest_state(df, "v", delta=200.0)
+    pts = [(100.0,), (2500.0,), (5000.0,), (9000.0,), (9999.0,)]
+    probes = spark.createDataFrame(pts, "v double")
+    got = {r["v"]: r["cdf"] for r in tdigest_cdf_probe(probes, "v", state).collect()}
+    for (p,) in pts:
+        exact = (int(p) + 1) / 10_000.0  # values uniform over 0..9999
+        assert abs(got[p] - exact) <= 0.01, (p, got[p], exact)
