@@ -263,6 +263,43 @@ def _q_bloom_incremental_checkpoint(spark: SparkSession, sf_dir: str) -> DataFra
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_cuckoo_members_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's next planned structure (specs/overview.md:20-21)
+    exercised end-to-end: shard-parallel cuckoo build over orders'
+    custkeys, DELETE the present multiples of 3 (the operation Bloom
+    cannot do), then probe members + never-present keys. Output = exact
+    surviving member set (24-bit fingerprints: expected FP ≈ 0,
+    deterministic; zero false negatives by construction)."""
+    from probabilistic_rs_spark.operators.cuckoo import (
+        build_cuckoo_shards,
+        cuckoo_delete,
+        cuckoo_probe,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    states = build_cuckoo_shards(
+        orders, "o_custkey", capacity=orders.count(), n_shards=8
+    )
+    doomed = (
+        customer.where(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .join(
+            orders.select(F.col("o_custkey").alias("k")).distinct(), "k", "left_semi"
+        )
+    )
+    states, _ = cuckoo_delete(states, doomed, "k")
+    probes = customer.select(F.col("c_custkey").alias("custkey")).union(
+        customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
+    )
+    return (
+        cuckoo_probe(probes, "custkey", states)
+        .where(F.col("is_member"))
+        .select("custkey")
+        .distinct()
+    )
+
+
 def _q_tdigest_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantiles of l_extendedprice; verdict = rank error <= 0.01."""
     from probabilistic_rs_spark.operators.quantiles import approx_quantiles
@@ -748,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_fpr_gate": _q_bloom_fpr_gate,
         "bloom_semi_filter_urgent": _q_bloom_semi_filter_urgent,
         "bloom_incremental_checkpoint": _q_bloom_incremental_checkpoint,
+        "cuckoo_members_after_delete": _q_cuckoo_members_after_delete,
         "tdigest_price_quantile_bounds": _q_tdigest_price_bounds,
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
         "hll_reaggregate_states": _q_hll_reaggregate_states,
@@ -818,6 +856,11 @@ def oracle_sql() -> dict[str, str]:
         "bloom_incremental_checkpoint": (
             "SELECT DISTINCT c_custkey AS custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "cuckoo_members_after_delete": (
+            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+            "AND c_custkey % 3 != 0"
         ),
         "tdigest_price_quantile_bounds": (
             "SELECT CAST(q AS DOUBLE) AS q, within_bound FROM (VALUES (0.01, TRUE), "

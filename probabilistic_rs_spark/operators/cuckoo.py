@@ -1,0 +1,159 @@
+"""Distributed Cuckoo filter — membership WITH DELETION at scale.
+
+Cuckoo insertion is a sequential displacement chain, so there is no
+associative partial-state merge the way Bloom has OR (the whole reason
+the reference ships Bloom first and lists cuckoo as planned,
+``specs/overview.md:20-21``). The Spark-native restatement:
+
+* **shard-parallel build**: keys are hashed JVM-side (xxhash64), routed
+  to ``n_shards`` shards by ``pmod(hash, n_shards)``; each shard's
+  (distinct, sorted) hashes build an independent CuckooFilter inside one
+  ``applyInPandas`` task. Deterministic: shard membership and insert
+  order are pure functions of the key hash — the same table bytes come
+  out under any partitioning.
+* **probe / delete routing**: the shard id is recomputed from the same
+  hash, so probes are map-side against a broadcast list of shard states
+  and deletes are per-shard batch calls.
+* scale: shards bound per-task build memory AND parallelize the one
+  sequential kernel — 1000 shards build a 10⁹-key filter as 1000
+  independent ~10⁶-key tasks (~6 s each at the measured 160k inserts/s).
+
+FPR ≈ 2·bucket_size/2^fingerprint_bits per probe (both candidate buckets
+of exactly one shard are examined — sharding does not change the bound).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from probabilistic_rs_spark.errors import SketchConfigError
+from probabilistic_rs_spark.sketches.cuckoo import CuckooFilter
+
+_SHARD_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType(), False),
+        StructField("state", BinaryType(), False),
+        StructField("n_items", LongType(), False),
+    ]
+)
+
+
+def _hashed(df: DataFrame, item_col: str, n_shards: int) -> DataFrame:
+    h = F.xxhash64(F.col(item_col).cast("string"))
+    return df.select(h.alias("__h"), F.pmod(h, F.lit(n_shards)).cast("int").alias("__shard"))
+
+
+def build_cuckoo_shards(
+    df: DataFrame,
+    item_col: str,
+    capacity: int,
+    n_shards: int = 32,
+    fingerprint_bits: int = 24,
+    bucket_size: int = 4,
+) -> list[bytes]:
+    """Build the sharded filter over a key column; returns the list of
+    shard state bytes (index = shard id) for broadcast probing."""
+    if n_shards <= 0:
+        raise SketchConfigError("n_shards must be positive")
+    per_shard_cap = max(64, int(capacity / n_shards * 1.3) + 16)
+    fb, bs, ns = int(fingerprint_bits), int(bucket_size), int(n_shards)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["__shard"].iloc[0])
+        hashes = np.unique(pdf["__h"].to_numpy(dtype="int64").view(np.uint64))
+        cf = CuckooFilter(per_shard_cap, fingerprint_bits=fb, bucket_size=bs)
+        cf.insert_hashes(hashes)
+        return pd.DataFrame(
+            {"shard": [shard], "state": [cf.to_bytes()], "n_items": [len(hashes)]}
+        )
+
+    rows = (
+        _hashed(df, item_col, ns)
+        .groupBy("__shard")
+        .applyInPandas(build, _SHARD_SCHEMA)
+        .collect()
+    )
+    states: list[bytes] = [b""] * ns
+    for r in rows:
+        states[int(r["shard"])] = bytes(r["state"])
+    empty = CuckooFilter(per_shard_cap, fingerprint_bits=fb, bucket_size=bs).to_bytes()
+    return [s if s else empty for s in states]
+
+
+# executor-side cache of deserialized shard lists, keyed by broadcast id
+_SHARDS_CACHE: dict[int, list[CuckooFilter]] = {}
+
+
+def cuckoo_probe(
+    probe_df: DataFrame,
+    item_col: str,
+    shard_states: list[bytes],
+    out_col: str = "is_member",
+) -> DataFrame:
+    """Adds a boolean membership column: each row's key is hashed with
+    the build's xxhash64, routed to its shard, and tested against the
+    broadcast shard table — map-side, zero exchanges."""
+    from pyspark.sql.functions import pandas_udf
+
+    sc = probe_df.sparkSession.sparkContext
+    bc = sc.broadcast(shard_states)
+    ns = len(shard_states)
+
+    def _probe(hashes):
+        key = id(bc.value)
+        shards = _SHARDS_CACHE.get(key)
+        if shards is None:
+            shards = [CuckooFilter.from_bytes(b) for b in bc.value]
+            if len(_SHARDS_CACHE) > 4:
+                _SHARDS_CACHE.clear()
+            _SHARDS_CACHE[key] = shards
+        h = hashes.to_numpy(dtype="int64").view(np.uint64)
+        sid = (hashes.to_numpy(dtype="int64") % ns + ns) % ns
+        out = np.zeros(len(h), dtype=bool)
+        for s in np.unique(sid):
+            rows = np.flatnonzero(sid == s)
+            out[rows] = shards[int(s)].contains_hashes(h[rows])
+        return pd.Series(out)
+
+    _probe.__annotations__ = {"hashes": pd.Series, "return": pd.Series}
+    probe_udf = pandas_udf(BooleanType())(_probe)
+    return probe_df.withColumn(
+        out_col, probe_udf(F.xxhash64(F.col(item_col).cast("string")))
+    )
+
+
+def cuckoo_delete(
+    shard_states: list[bytes],
+    delete_df: DataFrame,
+    item_col: str,
+) -> tuple[list[bytes], int]:
+    """Delete a (distinct) key set from the sharded filter — the
+    operation Bloom cannot do. Collects the delete keys' hashes per shard
+    (deletes are the small side: a retention list, a retraction feed) and
+    returns (new shard states, n_removed)."""
+    ns = len(shard_states)
+    rows = (
+        _hashed(delete_df, item_col, ns)
+        .distinct()
+        .groupBy("__shard")
+        .agg(F.collect_list("__h").alias("hs"))
+        .collect()
+    )
+    shards = [CuckooFilter.from_bytes(b) for b in shard_states]
+    removed = 0
+    for r in rows:
+        sid = int(r["__shard"])
+        hs = np.array(sorted(r["hs"]), dtype=np.int64).view(np.uint64)
+        removed += shards[sid].delete_hashes(hs)
+    return [s.to_bytes() for s in shards], removed

@@ -19,6 +19,7 @@ TYPE_HLL = 2
 TYPE_CMS = 3
 TYPE_TDIGEST = 4
 TYPE_KLL = 5
+TYPE_CUCKOO = 6
 
 _HEADER = struct.Struct("<4sHH")  # magic, type, version
 

@@ -1,0 +1,231 @@
+"""Cuckoo filter — the reference's next planned structure
+(``specs/overview.md:20-21`` — "Cuckoo filters (next after expiring
+bloom)"), derived from the paper `[papers]` (Fan, Andersen, Kaminsky,
+Mitzenmacher — "Cuckoo Filter: Practically Better than Bloom", CoNEXT'14)
+with the library's idioms: config → derived table geometry, versioned
+binary state, vectorized batch probes, driver-side validation.
+
+What it adds over Bloom: **deletion** (remove a previously-inserted item
+without rebuilding) and better space at low FPR. Semantics:
+
+* table: ``m`` buckets (power of two) × ``bucket_size`` slots of
+  ``fingerprint_bits``-bit fingerprints (0 = empty; fingerprints are
+  remapped to avoid 0).
+* partial-key cuckoo hashing: ``i1 = h & (m−1)``,
+  ``i2 = i1 ^ (mix(fp) & (m−1))`` — i2 is computable from (i1, fp)
+  alone, which is what makes relocation (and deletion) possible.
+* insert: place in i1/i2 if a slot is free, else displace — with a
+  DETERMINISTIC kick sequence (slot = kick_count % bucket_size, always
+  continue from the displaced item's alternate bucket), so a build over
+  the same sorted key set is bit-identical everywhere.
+* delete: clear one matching fingerprint slot from i1/i2. Guaranteed
+  safe only for items actually inserted (paper §3.3); a fingerprint
+  collision inside the same bucket pair can delete a twin — probability
+  ≈ 2·bucket_size/2^fingerprint_bits per co-located pair (negligible at
+  24 bits).
+* contains: fingerprint present in either candidate bucket; zero false
+  negatives for inserted-and-not-deleted items, FPR ≈
+  ``2·bucket_size / 2^fingerprint_bits``.
+
+Distributed mapping (see ``operators/cuckoo.py``): cuckoo insertion is a
+sequential displacement chain, so unlike Bloom there is NO associative
+state merge. The Spark build therefore shards by key hash — each shard
+builds its own filter over its (sorted, distinct) hashes inside one
+``applyInPandas`` task — and probes route by the same shard function.
+Shard builds are embarrassingly parallel and deterministic.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
+from probabilistic_rs_spark.functions.hashing import splitmix64
+from probabilistic_rs_spark.sketches.base import TYPE_CUCKOO, pack_header, unpack_header, unpack_meta
+
+U32 = np.uint32
+U64 = np.uint64
+
+# capacity, fingerprint_bits, bucket_size, m, n_items
+_META = struct.Struct("<qqqqq")
+
+_MAX_KICKS = 500
+
+
+class CuckooFilter:
+    __slots__ = ("capacity", "fingerprint_bits", "bucket_size", "m", "table", "n_items")
+
+    def __init__(
+        self,
+        capacity: int = 1_000_000,
+        fingerprint_bits: int = 24,
+        bucket_size: int = 4,
+    ):
+        if capacity <= 0:
+            raise SketchConfigError("Capacity must be greater than 0")
+        if not (4 <= fingerprint_bits <= 32):
+            raise SketchConfigError("fingerprint_bits must be in [4, 32]")
+        if bucket_size not in (2, 4, 8):
+            raise SketchConfigError("bucket_size must be 2, 4 or 8")
+        self.capacity = int(capacity)
+        self.fingerprint_bits = int(fingerprint_bits)
+        self.bucket_size = int(bucket_size)
+        # 95% max load (paper table 2 for b=4); next power of two buckets
+        need = max(1, int(np.ceil(capacity / (bucket_size * 0.95))))
+        self.m = 1 << (need - 1).bit_length()
+        self.table = np.zeros((self.m, bucket_size), dtype=U32)
+        self.n_items = 0
+
+    # -- hashing ---------------------------------------------------------------
+
+    def _fp_and_buckets(self, hashes: np.ndarray):
+        # remix first: callers may have consumed low bits of the raw hash
+        # for routing (the shard build uses pmod(h, n_shards)), which
+        # would otherwise pin the low bucket-index bits within a shard
+        # and overload m/n_shards of the table
+        g = splitmix64(hashes.astype(U64, copy=False))
+        fp_mask = U64((1 << self.fingerprint_bits) - 1)
+        fp = ((g >> U64(64 - self.fingerprint_bits)) & fp_mask).astype(U64)
+        fp = np.where(fp == 0, U64(1), fp)  # 0 means empty slot
+        m_mask = U64(self.m - 1)
+        i1 = (g & m_mask).astype(np.int64)
+        i2 = (i1 ^ (splitmix64(fp) & m_mask).astype(np.int64)).astype(np.int64)
+        return fp.astype(U32), i1, i2
+
+    def _alt_bucket(self, fp: int, i: int) -> int:
+        return int(i ^ (int(splitmix64(np.array([fp], dtype=U64))[0]) & (self.m - 1)))
+
+    # -- update ----------------------------------------------------------------
+
+    def insert_hashes(self, hashes: np.ndarray) -> None:
+        """Insert a batch of 64-bit item hashes. Deterministic for a given
+        input order (build from np.unique-sorted hashes for partition-
+        order-independent tables). Raises when the table cannot absorb an
+        item within the kick budget (filter effectively full)."""
+        fps, i1s, i2s = self._fp_and_buckets(np.asarray(hashes))
+        table = self.table
+        b = self.bucket_size
+        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+            placed = False
+            for i in (i1, i2):
+                row = table[i]
+                for s in range(b):
+                    if row[s] == 0:
+                        row[s] = fp
+                        placed = True
+                        break
+                if placed:
+                    break
+            if placed:
+                self.n_items += 1
+                continue
+            # displacement chain, deterministic slot choice
+            i = i2
+            cur = fp
+            for kick in range(_MAX_KICKS):
+                s = kick % b
+                victim = int(table[i, s])
+                table[i, s] = cur
+                cur = victim
+                i = self._alt_bucket(cur, i)
+                row = table[i]
+                done = False
+                for s2 in range(b):
+                    if row[s2] == 0:
+                        row[s2] = cur
+                        done = True
+                        break
+                if done:
+                    break
+            else:
+                raise SketchStateError(
+                    f"cuckoo filter full at {self.n_items} items "
+                    f"(capacity {self.capacity})"
+                )
+            self.n_items += 1
+
+    def delete_hashes(self, hashes: np.ndarray) -> int:
+        """Remove one matching fingerprint per input hash (from either
+        candidate bucket). Returns how many were found-and-removed. Safe
+        for items that were actually inserted (paper §3.3)."""
+        fps, i1s, i2s = self._fp_and_buckets(np.asarray(hashes))
+        removed = 0
+        table = self.table
+        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+            hit = False
+            for i in (i1, i2):
+                row = table[i]
+                for s in range(self.bucket_size):
+                    if row[s] == fp:
+                        row[s] = 0
+                        hit = True
+                        break
+                if hit:
+                    break
+            if hit:
+                removed += 1
+                self.n_items -= 1
+        return removed
+
+    # -- probe -----------------------------------------------------------------
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership for a batch of item hashes: gather both
+        candidate buckets and compare fingerprints — no per-row Python."""
+        hashes = np.asarray(hashes)
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        fps, i1s, i2s = self._fp_and_buckets(hashes)
+        rows = np.concatenate([self.table[i1s], self.table[i2s]], axis=1)  # (n, 2b)
+        return (rows == fps[:, None]).any(axis=1)
+
+    # -- stats -----------------------------------------------------------------
+
+    def load_factor(self) -> float:
+        return float((self.table != 0).sum()) / (self.m * self.bucket_size)
+
+    def false_positive_rate(self) -> float:
+        """Paper bound: ε ≈ 2·b / 2^f (two buckets of b slots tested)."""
+        return 2.0 * self.bucket_size / float(1 << self.fingerprint_bits)
+
+    # -- serialization ---------------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        meta = _META.pack(
+            self.capacity, self.fingerprint_bits, self.bucket_size, self.m, self.n_items
+        )
+        flat = self.table.ravel()
+        nz = np.flatnonzero(flat)
+        # sparse: (uint32 slot index, uint32 fingerprint) pairs
+        if len(nz) * 8 < flat.nbytes:
+            payload = nz.astype(U32).tobytes() + flat[nz].tobytes()
+            return pack_header(TYPE_CUCKOO, version=2) + meta + payload
+        return pack_header(TYPE_CUCKOO, version=1) + meta + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CuckooFilter":
+        version, off = unpack_header(data, TYPE_CUCKOO)
+        capacity, fbits, bsize, m, n_items = unpack_meta(_META, data, off)
+        sk = cls(capacity=capacity, fingerprint_bits=fbits, bucket_size=bsize)
+        if sk.m != m:
+            raise SketchStateError("cuckoo derived geometry mismatch on deserialize")
+        body = off + _META.size
+        if version == 2:
+            rest = len(data) - body
+            if rest % 8:
+                raise SketchStateError("corrupt sparse cuckoo payload")
+            nnz = rest // 8
+            idx = np.frombuffer(data, dtype=U32, offset=body, count=nnz)
+            vals = np.frombuffer(data, dtype=U32, offset=body + 4 * nnz, count=nnz)
+            if nnz and int(idx.max()) >= m * bsize:
+                raise SketchStateError("sparse cuckoo index out of range")
+            sk.table[idx // bsize, idx % bsize] = vals
+        else:
+            flat = np.frombuffer(data, dtype=U32, offset=body)
+            if len(flat) != m * bsize:
+                raise SketchStateError("cuckoo table size mismatch")
+            sk.table = flat.reshape(m, bsize).copy()
+        sk.n_items = n_items
+        return sk

@@ -1,0 +1,113 @@
+"""Cuckoo filter — the reference's next planned structure
+(specs/overview.md:20-21), paper-derived (Fan et al., CoNEXT'14). Same
+test layering as the Bloom suite: core semantics, accuracy gates,
+determinism, then the shard-parallel Spark build."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
+from probabilistic_rs_spark.sketches.cuckoo import CuckooFilter
+
+
+class TestCore:
+    def test_insert_contains_no_false_negatives(self):
+        rng = np.random.default_rng(3)
+        h = np.unique(rng.integers(1, 2**63, 50_000).astype(np.uint64))
+        cf = CuckooFilter(capacity=80_000)
+        cf.insert_hashes(h)
+        assert cf.contains_hashes(h).all()
+        assert cf.n_items == len(h)
+
+    def test_fpr_within_paper_bound(self):
+        rng = np.random.default_rng(4)
+        h = np.unique(rng.integers(1, 2**63, 60_000).astype(np.uint64))
+        cf = CuckooFilter(capacity=80_000)
+        cf.insert_hashes(h)
+        probes = rng.integers(1, 2**63, 200_000).astype(np.uint64)
+        fresh = probes[~np.isin(probes, h)]
+        fpr = cf.contains_hashes(fresh).mean()
+        # epsilon = 2b/2^f = 4.8e-7 at f=24, b=4; allow 3x + tiny slack
+        assert fpr <= 3 * cf.false_positive_rate() + 1e-7
+
+    def test_delete_removes_exactly_and_keeps_rest(self):
+        rng = np.random.default_rng(5)
+        h = np.unique(rng.integers(1, 2**63, 30_000).astype(np.uint64))
+        cf = CuckooFilter(capacity=50_000)
+        cf.insert_hashes(h)
+        doomed, keep = h[::2], h[1::2]
+        assert cf.delete_hashes(doomed) == len(doomed)
+        assert cf.contains_hashes(keep).all()  # zero FN for survivors
+        assert cf.contains_hashes(doomed).mean() < 1e-3  # fp-collision residue only
+        assert cf.n_items == len(keep)
+
+    def test_build_deterministic_over_sorted_input(self):
+        rng = np.random.default_rng(6)
+        h = np.unique(rng.integers(1, 2**63, 20_000).astype(np.uint64))
+        a = CuckooFilter(capacity=30_000)
+        a.insert_hashes(h)
+        b = CuckooFilter(capacity=30_000)
+        b.insert_hashes(h)
+        assert a.to_bytes() == b.to_bytes()
+
+    def test_serialization_round_trip_and_corruption(self):
+        rng = np.random.default_rng(7)
+        h = np.unique(rng.integers(1, 2**63, 5_000).astype(np.uint64))
+        cf = CuckooFilter(capacity=10_000)
+        cf.insert_hashes(h)
+        blob = cf.to_bytes()
+        back = CuckooFilter.from_bytes(blob)
+        assert (back.table == cf.table).all() and back.n_items == cf.n_items
+        with pytest.raises(SketchStateError):
+            CuckooFilter.from_bytes(blob[:-3])
+
+    def test_config_validation(self):
+        with pytest.raises(SketchConfigError, match="Capacity"):
+            CuckooFilter(capacity=0)
+        with pytest.raises(SketchConfigError, match="fingerprint_bits"):
+            CuckooFilter(capacity=10, fingerprint_bits=2)
+        with pytest.raises(SketchConfigError, match="bucket_size"):
+            CuckooFilter(capacity=10, bucket_size=3)
+
+    def test_overload_raises_full(self):
+        cf = CuckooFilter(capacity=100)
+        rng = np.random.default_rng(8)
+        with pytest.raises(SketchStateError, match="full"):
+            cf.insert_hashes(np.unique(rng.integers(1, 2**63, 5000).astype(np.uint64)))
+
+
+class TestSpark:
+    def test_shard_build_probe_delete_end_to_end(self, spark):
+        from probabilistic_rs_spark.operators.cuckoo import (
+            build_cuckoo_shards,
+            cuckoo_delete,
+            cuckoo_probe,
+        )
+
+        df = spark.range(20_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        states = build_cuckoo_shards(df, "k", capacity=20_000, n_shards=8)
+        probes = spark.range(25_000).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        res = cuckoo_probe(probes, "k", states).collect()
+        members = {r["k"] for r in res if r["is_member"]}
+        assert all(f"k{i}" in members for i in range(0, 20_000, 997))
+        fps = [r["k"] for r in res if r["is_member"] and int(r["k"][1:]) >= 20_000]
+        assert len(fps) == 0  # 24-bit fingerprints: zero FPs expected here
+        # delete a slice, survivors intact
+        doomed = spark.range(0, 20_000, 2).select(F.concat(F.lit("k"), F.col("id")).alias("k"))
+        states2, removed = cuckoo_delete(states, doomed, "k")
+        assert removed == 10_000
+        res2 = cuckoo_probe(probes, "k", states2).collect()
+        after = {r["k"] for r in res2 if r["is_member"]}
+        assert all(f"k{i}" in after for i in range(1, 20_000, 1998))  # odd ids survive
+        assert not any(f"k{i}" in after for i in range(0, 20_000, 1998))
+
+    def test_shard_build_partitioning_invariant(self, spark):
+        from probabilistic_rs_spark.operators.cuckoo import build_cuckoo_shards
+
+        df = spark.range(5_000).select(F.concat(F.lit("x"), F.col("id")).alias("k"))
+        a = build_cuckoo_shards(df, "k", capacity=5_000, n_shards=4)
+        b = build_cuckoo_shards(df.repartition(13), "k", capacity=5_000, n_shards=4)
+        assert a == b  # bit-identical shard states under any partitioning
