@@ -17,6 +17,7 @@ from probabilistic_rs_spark.sketches.bloom import (
     BloomSketch,
 )
 from probabilistic_rs_spark.sketches.cms import CountMinSketch
+from probabilistic_rs_spark.sketches.cuckoo import CuckooFilter
 from probabilistic_rs_spark.sketches.hll import HyperLogLog
 from probabilistic_rs_spark.sketches.kll import KLLSketch
 from probabilistic_rs_spark.sketches.tdigest import TDigest
@@ -25,6 +26,7 @@ __all__ = [
     "BloomConfig",
     "BloomPartialBuilder",
     "BloomSketch",
+    "CuckooFilter",
     "HyperLogLog",
     "CountMinSketch",
     "TDigest",
