@@ -151,10 +151,14 @@ class BloomChunkStore:
         if (
             int(meta["capacity"]) != sk.config.capacity
             or float(meta["false_positive_rate"]) != sk.config.false_positive_rate
+            or int(meta["chunk_size_bytes"]) != sk.config.chunk_size_bytes
         ):
+            # chunk size is part of the addressing scheme: ids written in
+            # different units would silently land at wrong byte offsets
             raise SketchStateError(
                 "snapshot config mismatch: store was created with "
-                f"capacity={meta['capacity']} fpr={meta['false_positive_rate']}"
+                f"capacity={meta['capacity']} fpr={meta['false_positive_rate']} "
+                f"chunk_size_bytes={meta['chunk_size_bytes']}"
             )
         chunks = sk.extract_dirty_chunks() if incremental else sk.extract_all_chunks()
         gen = int(meta["generation"]) + 1
@@ -349,11 +353,12 @@ class IncrementalBloomCheckpoint:
             df = reader(spark, unit)
             merged = sketch_aggregate(df, [], [spec])
             row = merged.select("bloom_state", "n_updates").head()
-            live.merge_bytes(bytes(row["bloom_state"]))
+            if row is not None:  # a legitimately empty unit absorbs nothing
+                live.merge_bytes(bytes(row["bloom_state"]))
             snap = store.save_snapshot(live, incremental=True)
             rec = {
                 "unit": unit,
-                "n_rows": int(row["n_updates"]),
+                "n_rows": int(row["n_updates"]) if row is not None else 0,
                 "wall_s": round(time.perf_counter() - t0, 3),
                 "finished_at": time.time(),
                 **snap,

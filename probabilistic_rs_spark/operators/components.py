@@ -47,6 +47,18 @@ def connected_components(
     graphs converge in a few rounds; hitting the cap means the input is
     not the sparse cluster graph this is meant for.
     """
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    numeric = (ByteType, ShortType, IntegerType, LongType)
+    for c in (src_col, dst_col):
+        if not isinstance(edges.schema[c].dataType, numeric):
+            # a silent cast('long') would turn string ids into NULLs and
+            # make dedup a no-op with no error — refuse instead
+            raise SketchConfigError(
+                f"connected_components requires integral vertex ids; "
+                f"column {c!r} is {edges.schema[c].dataType.simpleString()} "
+                "(hash or dictionary-encode string ids first)"
+            )
     sym = edges.select(
         F.col(src_col).cast("long").alias("s"), F.col(dst_col).cast("long").alias("d")
     )

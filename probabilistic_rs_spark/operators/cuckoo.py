@@ -91,8 +91,35 @@ def build_cuckoo_shards(
     return [s if s else empty for s in states]
 
 
-# executor-side cache of deserialized shard lists, keyed by broadcast id
-_SHARDS_CACHE: dict[int, list[CuckooFilter]] = {}
+# executor-side cache of deserialized shard lists, keyed by a content
+# hash (an id()-based key could collide after GC recycles the address
+# and silently serve a stale filter list); driver-side broadcast memo so
+# repeated probes of the same states reuse one broadcast
+_SHARDS_CACHE: dict[str, list[CuckooFilter]] = {}
+_SHARD_BROADCASTS: dict[tuple, object] = {}
+
+
+def _shards_broadcast(sc, shard_states: list[bytes]):
+    import hashlib
+
+    h = hashlib.sha1()
+    for s in shard_states:
+        h.update(len(s).to_bytes(8, "little"))
+        h.update(s)
+    key = h.hexdigest()
+    memo_key = (sc.applicationId, key)
+    entry = _SHARD_BROADCASTS.get(memo_key)
+    if entry is None:
+        if len(_SHARD_BROADCASTS) > 16:
+            for _, old in _SHARD_BROADCASTS.values():
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            _SHARD_BROADCASTS.clear()
+        entry = (key, sc.broadcast(shard_states))
+        _SHARD_BROADCASTS[memo_key] = entry
+    return entry
 
 
 def cuckoo_probe(
@@ -103,15 +130,15 @@ def cuckoo_probe(
 ) -> DataFrame:
     """Adds a boolean membership column: each row's key is hashed with
     the build's xxhash64, routed to its shard, and tested against the
-    broadcast shard table — map-side, zero exchanges."""
+    broadcast shard table — map-side, zero exchanges. Repeated probes of
+    the same states reuse one broadcast and a per-worker cache."""
     from pyspark.sql.functions import pandas_udf
 
     sc = probe_df.sparkSession.sparkContext
-    bc = sc.broadcast(shard_states)
+    key, bc = _shards_broadcast(sc, shard_states)
     ns = len(shard_states)
 
     def _probe(hashes):
-        key = id(bc.value)
         shards = _SHARDS_CACHE.get(key)
         if shards is None:
             shards = [CuckooFilter.from_bytes(b) for b in bc.value]

@@ -413,10 +413,12 @@ def cosine_lsh_params(
     miss it with prob ``(1-h)^T``. ``planes="auto"`` picks the largest p
     (finest buckets → fewest candidates) whose required table count for
     ``miss_tol`` stays ≤ ``max_tables``; ``tables="auto"`` then solves
-    ``T = ceil(ln miss_tol / ln(1-h))``. Higher thresholds get more
-    planes automatically (q → 1), which is where LSH earns its keep; low
-    thresholds degrade gracefully toward coarse buckets rather than
-    toward a cross join.
+    ``T = ceil(ln miss_tol / ln(1-h))`` — recall (``miss_tol``) is always
+    honored, so at very low thresholds where even p=4 needs more than
+    ``max_tables`` tables, T exceeds the budget rather than silently
+    losing recall. Higher thresholds get more planes automatically
+    (q → 1), which is where LSH earns its keep; low thresholds degrade
+    gracefully toward coarse buckets rather than toward a cross join.
     """
     s = min(max(float(threshold), -1.0), 1.0)
     q = 1.0 - math.acos(s) / math.pi

@@ -275,7 +275,10 @@ def build_cms_state(
 
     spec = SketchSpec("cms", "cms", key_col, {"eps": eps, "delta": delta})
     merged = sketch_aggregate(df, [], [spec], tree_fanin=resolve_tree_fanin(df, tree_fanin))
-    return bytes(merged.select("cms_state").head()["cms_state"])
+    row = merged.select("cms_state").head()
+    if row is None:  # empty input -> empty sketch, not a crash
+        return spec.make().to_bytes()
+    return bytes(row["cms_state"])
 
 
 # driver-side broadcast reuse: repeated probes against the same state

@@ -50,6 +50,8 @@ def build_bloom_state(
     )
     merged = sketch_aggregate(df, [], [spec], tree_fanin=resolve_tree_fanin(df, tree_fanin))
     row = merged.select("bloom_state").head()
+    if row is None:  # empty input -> empty filter, not a crash
+        return spec.make().to_bytes()
     return bytes(row["bloom_state"])
 
 

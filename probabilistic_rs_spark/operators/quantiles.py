@@ -94,4 +94,7 @@ def build_tdigest_state(
 
     spec = SketchSpec("td", "tdigest", value_col, {"delta": delta})
     merged = sketch_aggregate(df, [], [spec], tree_fanin=resolve_tree_fanin(df, tree_fanin))
-    return bytes(merged.select("td_state").head()["td_state"])
+    row = merged.select("td_state").head()
+    if row is None:  # empty input -> empty digest, not a crash
+        return spec.make().to_bytes()
+    return bytes(row["td_state"])

@@ -82,9 +82,13 @@ def recent_level_states(
 def active_window_states(
     states_df: DataFrame, num_levels: int = 3, as_of=None
 ) -> DataFrame:
-    """The active level set as a DataFrame: the ``num_levels`` most recent
-    windows at/before ``as_of``. Uninitialized windows don't exist as rows
-    here (the batch analog of ``created_at == 0`` levels being excluded,
+    """The active level set as a DataFrame: rows of the ``num_levels``
+    most recent DISTINCT windows at/before ``as_of`` (``dense_rank``, so
+    duplicate rows for one window — e.g. a per-microbatch append sink —
+    never consume level slots). Callers aggregating over the result
+    should hold one row per window (dedupe appended generations first).
+    Uninitialized windows don't exist as rows here (the batch analog of
+    ``created_at == 0`` levels being excluded,
     ``src/ebloom/filter.rs:249-266``)."""
     from pyspark.sql import Window as W
 
@@ -94,7 +98,7 @@ def active_window_states(
     if as_of is not None:
         cur = cur.where(F.col("window_start") <= F.lit(as_of))
     ranked = cur.withColumn(
-        "__rk", F.row_number().over(W.orderBy(F.desc("window_start")))
+        "__rk", F.dense_rank().over(W.orderBy(F.desc("window_start")))
     )
     return ranked.where(F.col("__rk") <= num_levels).drop("__rk")
 
@@ -136,12 +140,23 @@ def prune_expired_windows(
 
 
 def prune_states_table(spark, path: str, num_levels: int = 3, as_of=None) -> int:
-    """Rewrite a persisted window-states Parquet table keeping only the
-    active windows. Swap is atomic at the directory level (write aside,
-    rename over). Returns the number of retained rows."""
+    """Rewrite a persisted window-states Parquet table (LOCAL filesystem
+    path) keeping only the active windows. Returns the retained row count.
+
+    Crash-safety contract: the swap is two renames, so a crash between
+    them leaves the data intact at ``<path>__old`` (recover by renaming
+    it back); the new data is always fully written and fsync-visible at
+    ``<path>__pruning`` before the first rename. This helper is
+    local-FS-only — for object stores, write the pruned set to a new
+    versioned directory and flip a pointer instead."""
     import os
     import shutil
 
+    if "://" in path:
+        raise SketchConfigError(
+            "prune_states_table operates on local paths only; for remote "
+            "stores write a new versioned directory and flip a pointer"
+        )
     states = spark.read.parquet(path)
     kept = prune_expired_windows(states, num_levels, as_of)
     tmp = path.rstrip("/") + "__pruning"

@@ -263,9 +263,17 @@ class BloomSketch:
             bits = np.frombuffer(data, dtype=np.uint8, offset=payload_off)
             if len(bits) != len(self.bits):
                 raise SketchStateError("bit vector length mismatch")
-            nz = np.flatnonzero(bits)
             np.bitwise_or(self.bits, bits, out=self.bits)
-            self.dirty_chunks.update(np.unique(nz // cs).tolist())
+            # chunk-granular dirty scan: O(m) read but only O(m/cs)
+            # temporaries (a flatnonzero over a near-full filter would
+            # materialize an up-to-8x-set-bytes int64 array per fold on
+            # the reducer hot path)
+            n = len(bits)
+            full = (n // cs) * cs
+            cids = np.flatnonzero(bits[:full].reshape(-1, cs).any(axis=1))
+            self.dirty_chunks.update(cids.tolist())
+            if n > full and bits[full:].any():
+                self.dirty_chunks.add(n // cs)
         self.n_updates += n_updates
         return self
 
