@@ -158,6 +158,34 @@ def _q_bloom_members_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_native_bloom_members_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native-hash (JVM-probe) Bloom semi-join — same contract as
+    `bloom_members_custkey` but the probe predicate runs entirely inside
+    whole-stage codegen (operators/membership.py:native_bloom_probe): zero
+    false negatives by construction, FPR sized so expected FPs ≈ 0.02 —
+    deterministically zero on this data, verified."""
+    from probabilistic_rs_spark.operators.membership import (
+        build_native_bloom_state,
+        native_bloom_probe,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    n = orders.count()
+    state = build_native_bloom_state(
+        orders, "o_custkey", capacity=max(1000, n), false_positive_rate=0.00001
+    )
+    probes = customer.select(F.col("c_custkey").alias("custkey")).union(
+        customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
+    )
+    return (
+        native_bloom_probe(probes, "custkey", state)
+        .where(F.col("is_member"))
+        .select("custkey")
+        .distinct()
+    )
+
+
 def _q_bloom_fpr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's own accuracy gates, distributed: zero false
     negatives (tests/core_bloom_filter_tests.rs:402-420) and measured FPR
@@ -782,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_event_type_counts": _q_cms_event_type_counts,
         "salted_exact_supplier_counts": _q_salted_exact_supplier_counts,
         "bloom_members_custkey": _q_bloom_members_custkey,
+        "native_bloom_members_custkey": _q_native_bloom_members_custkey,
         "bloom_fpr_gate": _q_bloom_fpr_gate,
         "bloom_semi_filter_urgent": _q_bloom_semi_filter_urgent,
         "bloom_incremental_checkpoint": _q_bloom_incremental_checkpoint,
@@ -841,6 +870,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 650"
         ),
         "bloom_members_custkey": (
+            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        ),
+        "native_bloom_members_custkey": (
             "SELECT DISTINCT c_custkey AS custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),

@@ -134,22 +134,27 @@ def q_pages_quantiles(spark):
 
 
 def q_pages_bloom_membership(spark):
-    """North-star #4: Bloom build over urls + membership probe."""
+    """North-star #4: Bloom build over urls + membership probe.
+
+    Native-hash engine (r3): positions from JVM xxhash64 exprs, kernel is
+    a bare bit scatter, probe is 100% whole-stage-codegen JVM work. The
+    reference-parity murmur/fnv engine stays benchmarked inside
+    lineitem_flagship_multisketch and oracle-gated in CORRECTNESS."""
     from pyspark.sql import functions as F
 
     from probabilistic_rs_spark.operators.membership import (
-        bloom_probe,
-        build_bloom_state,
+        build_native_bloom_state,
+        native_bloom_semi_filter,
     )
 
     pages = spark.read.parquet(PAGES_PATH)
-    state = build_bloom_state(
+    state = build_native_bloom_state(
         pages, "url", capacity=2 * PAGES_ROWS, false_positive_rate=0.01
     )
     # deterministic ~20% sample, probed in place (stays distributed — a
     # limit() would funnel the probe through one task)
     probes = pages.select("url").where(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
-    hits = bloom_probe(probes, "url", state).where(F.col("is_member")).count()
+    hits = native_bloom_semi_filter(probes, "url", state).count()
     return PAGES_ROWS, hits
 
 
@@ -200,7 +205,12 @@ def warmup(spark) -> None:
     query doesn't absorb one-time costs."""
     from pyspark.sql import functions as F
 
-    from probabilistic_rs_spark.operators.membership import bloom_probe, build_bloom_state
+    from probabilistic_rs_spark.operators.membership import (
+        bloom_probe,
+        build_bloom_state,
+        build_native_bloom_state,
+        native_bloom_probe,
+    )
     from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
 
     # page-cache warm: touch every column the timed queries scan (text is
@@ -231,6 +241,10 @@ def warmup(spark) -> None:
     ).head()
     st = build_bloom_state(li, "l_orderkey", capacity=100_000)
     bloom_probe(li.select("l_orderkey"), "l_orderkey", st).where(
+        F.col("is_member")
+    ).count()
+    nst = build_native_bloom_state(li, "l_orderkey", capacity=100_000)
+    native_bloom_probe(li.select("l_orderkey"), "l_orderkey", nst).where(
         F.col("is_member")
     ).count()
 

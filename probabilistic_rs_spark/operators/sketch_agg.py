@@ -55,6 +55,7 @@ from probabilistic_rs_spark.sketches.tdigest import TDigest
 # value representation each sketch kind consumes
 _VALUE_KIND = {
     "bloom": "bytes",   # raw bytes (reference-parity murmur3+fnv hashing in kernel)
+    "nbloom": "positions",  # JVM-side xxhash64 bit positions → kernel only scatters
     "hll": "hash",      # JVM-side xxhash64 → kernel only does register max
     "cms": "hash",      # JVM-side xxhash64 → kernel only does counter scatter
     "tdigest": "float",
@@ -86,6 +87,10 @@ class SketchSpec:
     def make(self):
         if self.kind == "bloom":
             return BloomSketch(BloomConfig(**self.params))
+        if self.kind == "nbloom":
+            from probabilistic_rs_spark.sketches.native_bloom import NativeBloomSketch
+
+            return NativeBloomSketch(BloomConfig(**self.params))
         if self.kind == "hll":
             return HyperLogLog(**self.params)
         if self.kind == "cms":
@@ -103,6 +108,12 @@ class SketchSpec:
             from probabilistic_rs_spark.sketches.bloom import BloomPartialBuilder
 
             return BloomPartialBuilder(BloomConfig(**self.params))
+        if self.kind == "nbloom":
+            from probabilistic_rs_spark.sketches.native_bloom import (
+                NativeBloomPartialBuilder,
+            )
+
+            return NativeBloomPartialBuilder(BloomConfig(**self.params))
         return self.make()
 
     @property
@@ -114,6 +125,21 @@ class SketchSpec:
         return f"{self.name}_state"
 
 
+def native_bloom_position_exprs(col: Column, m: int, k: int) -> list[Column]:
+    """The native-hash Bloom position family — ``k`` independent JVM
+    hashes of the canonical string form:
+
+        pos_i = pmod(xxhash64(lit(i), cast(item as string)), m)
+
+    (xxhash64 over multiple columns chains: the hash of ``lit(i)`` seeds
+    the hash of the item, so each ``i`` is an independent 64-bit hash.)
+    Build kernel and probe expressions both call THIS function, so zero
+    false negatives hold by construction.
+    """
+    s = col.cast("string")
+    return [F.pmod(F.xxhash64(F.lit(int(i)), s), F.lit(int(m))) for i in range(k)]
+
+
 def _value_expr(spec: SketchSpec) -> Column:
     """JVM-side value preparation — stays inside whole-stage codegen."""
     col = F.col(spec.column)
@@ -122,6 +148,15 @@ def _value_expr(spec: SketchSpec) -> Column:
         return F.xxhash64(col.cast("string")).alias(f"__v_{spec.name}")
     if vk == "float":
         return col.cast("double").alias(f"__v_{spec.name}")
+    if vk == "positions":
+        sk = spec.make()
+        pos = native_bloom_position_exprs(col, sk.m, sk.k)
+        if sk.m < (1 << 31):
+            # positions fit int32: halve the Arrow transfer volume (the
+            # cast is exact — values are in [0, m) — and the probe side,
+            # which never ships positions, keeps the long expressions)
+            pos = [p.cast("int") for p in pos]
+        return F.array(*pos).alias(f"__v_{spec.name}")
     # bytes: canonical encoding = UTF-8 of the string form
     return F.encode(col.cast("string"), "UTF-8").alias(f"__v_{spec.name}")
 
@@ -132,6 +167,8 @@ def _update_sketch(spec: SketchSpec, sketch, prepared, rows: np.ndarray) -> None
         sketch.update_hashes(prepared[rows])
     elif vk == "float":
         sketch.update_values(prepared[rows])
+    elif vk == "positions":
+        sketch.update_positions(prepared[rows])
     else:
         buf, lens = prepared
         sketch.update_padded(buf[rows], lens[rows])
@@ -149,6 +186,14 @@ def _prepare_value(spec: SketchSpec, batch, colname: str):
         return a.astype(np.int64, copy=False).view(np.uint64)
     if vk == "float":
         return arr.to_numpy(zero_copy_only=False)  # nulls → NaN, dropped in kernel
+    if vk == "positions":
+        # fixed-k list<int64> → (n, k) matrix; flatten() honors slicing
+        # offsets, so this is safe on sliced batches
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        n = len(arr)
+        return flat.reshape(n, -1) if n else flat.reshape(0, 1)
     # per-spec scratch slot: the padded matrix is reused across batches
     # and tasks on this worker; the slot name keeps two byte-kind specs
     # in one batch from aliasing

@@ -17,6 +17,10 @@ from probabilistic_rs_spark.sketches.bloom import (
     BloomSketch,
 )
 from probabilistic_rs_spark.sketches.cms import CountMinSketch
+from probabilistic_rs_spark.sketches.native_bloom import (
+    NativeBloomPartialBuilder,
+    NativeBloomSketch,
+)
 from probabilistic_rs_spark.sketches.cuckoo import CuckooFilter
 from probabilistic_rs_spark.sketches.hll import HyperLogLog
 from probabilistic_rs_spark.sketches.kll import KLLSketch
@@ -26,6 +30,8 @@ __all__ = [
     "BloomConfig",
     "BloomPartialBuilder",
     "BloomSketch",
+    "NativeBloomPartialBuilder",
+    "NativeBloomSketch",
     "CuckooFilter",
     "HyperLogLog",
     "CountMinSketch",

@@ -70,6 +70,11 @@ class BloomSketch:
 
     __slots__ = ("config", "m", "k", "bits", "n_updates", "dirty_chunks")
 
+    # wire-format type tag; the native-hash subclass overrides it so a
+    # filter built with the JVM xxhash64 family can never be silently
+    # probed with the reference murmur/fnv family (or vice versa)
+    _TYPE = TYPE_BLOOM
+
     def __init__(self, config: BloomConfig | None = None):
         config = config or BloomConfig()
         config.validate()
@@ -220,7 +225,7 @@ class BloomSketch:
         # final reducer's global filter always lands here — this scan was
         # ~170 ms of pure serial time per merged state at capacity 16M)
         if 4 * self.k * self.n_updates >= len(self.bits):
-            return pack_header(TYPE_BLOOM, version=1) + meta + self.bits.tobytes()
+            return pack_header(self._TYPE, version=1) + meta + self.bits.tobytes()
         # expand only the nonzero BYTES to bit indices: a lightly-filled
         # filter touches ~n·k of m bytes, so temporaries stay O(set bits)
         # instead of O(m) — full-width unpackbits would fault 8×m of fresh
@@ -231,15 +236,15 @@ class BloomSketch:
             sub = np.unpackbits(self.bits[nz], bitorder="little").reshape(-1, 8)
             rows, cols = np.nonzero(sub)
             idx = (nz[rows] * 8 + cols).astype(np.uint32)
-            return pack_header(TYPE_BLOOM, version=2) + meta + idx.tobytes()
-        return pack_header(TYPE_BLOOM, version=1) + meta + self.bits.tobytes()
+            return pack_header(self._TYPE, version=2) + meta + idx.tobytes()
+        return pack_header(self._TYPE, version=1) + meta + self.bits.tobytes()
 
     def merge_bytes(self, data: bytes) -> "BloomSketch":
         """OR a serialized state directly into this filter without
         materializing a second dense bit array — the merge hot path: a
         reducer folding P partials allocates one dense array total instead
         of P (each dense alloc is m/8 fresh-faulted pages)."""
-        version, off = unpack_header(data, TYPE_BLOOM)
+        version, off = unpack_header(data, self._TYPE)
         capacity, fpr, m, k, cs, n_updates = unpack_meta(_META, data, off)
         if (self.m, self.k) != (m, k):
             raise SketchStateError(
@@ -279,7 +284,7 @@ class BloomSketch:
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BloomSketch":
-        version, off = unpack_header(data, TYPE_BLOOM)
+        version, off = unpack_header(data, cls._TYPE)
         capacity, fpr, m, k, cs, n_updates = unpack_meta(_META, data, off)
         sk = cls(BloomConfig(capacity, fpr, cs))
         if (sk.m, sk.k) != (m, k):
@@ -353,6 +358,9 @@ class BloomPartialBuilder:
 
     __slots__ = ("config", "m", "k", "idx_chunks", "n_idx", "dense", "n_updates")
 
+    _TYPE = TYPE_BLOOM
+    _SKETCH: type = None  # resolved below (BloomSketch); subclass overrides
+
     def __init__(self, config: BloomConfig | None = None):
         config = config or BloomConfig()
         config.validate()
@@ -375,7 +383,7 @@ class BloomPartialBuilder:
         # array, collapse to dense and scatter from then on — builder
         # memory is min(sparse, dense) at ANY partition size
         if self.n_idx * 4 >= (self.m + 7) // 8:
-            self.dense = BloomSketch(self.config)
+            self.dense = self._SKETCH(self.config)
             _or_bit_indices(self.dense.bits, np.concatenate(self.idx_chunks))
             self.idx_chunks = []
             self.n_idx = 0
@@ -409,11 +417,14 @@ class BloomPartialBuilder:
         # set BITS bound set BYTES, so idx-count*4 < m/8 implies the sparse
         # payload is smaller than dense (same decision rule as BloomSketch)
         if len(idx) * 4 < (self.m + 7) // 8:
-            return pack_header(TYPE_BLOOM, version=2) + meta + idx.tobytes()
-        sk = BloomSketch(self.config)
+            return pack_header(self._TYPE, version=2) + meta + idx.tobytes()
+        sk = self._SKETCH(self.config)
         _or_bit_indices(sk.bits, idx)
-        return pack_header(TYPE_BLOOM, version=1) + meta + sk.bits.tobytes()
+        return pack_header(self._TYPE, version=1) + meta + sk.bits.tobytes()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BloomSketch":
-        return BloomSketch.from_bytes(data)
+        return cls._SKETCH.from_bytes(data)
+
+
+BloomPartialBuilder._SKETCH = BloomSketch
