@@ -45,8 +45,17 @@ from probabilistic_rs_spark.sketches.bloom import BloomConfig, BloomSketch
 class BloomChunkStore:
     """Driver-side chunk-addressed store for one Bloom filter state."""
 
-    def __init__(self, path: str):
+    # fold generations into one full snapshot once this many gen files
+    # accumulate (instance-overridable); keeps load()/recovery O(filter
+    # size), not O(snapshots ever taken)
+    compact_every: int = 16
+
+    def __init__(self, path: str, compact_every: int | None = None):
         self.path = path
+        if compact_every is not None:
+            if compact_every < 2:
+                raise SketchConfigError("compact_every must be >= 2")
+            self.compact_every = int(compact_every)
 
     # -- layout ---------------------------------------------------------------
 
@@ -179,11 +188,58 @@ class BloomChunkStore:
         meta.update({"generation": gen, "n_updates": sk.n_updates})
         self._write_meta(meta)
         sk.clear_dirty()
+        # periodic compaction (ADVICE r2): without it a long-running
+        # incremental job appends one gen-*.parquet per snapshot forever
+        # and load()/recovery cost grows without bound — the reference's
+        # LSM backend compacts; this is the restatement's equivalent
+        if self._gen_file_count() >= self.compact_every:
+            self.compact(sk)
         return {
             "generation": gen,
             "chunks_written": len(chunks),
             "bytes_written": n_bytes,
         }
+
+    def _gen_files(self) -> list[str]:
+        if not os.path.isdir(self.chunks_dir):
+            return []
+        return sorted(
+            fn
+            for fn in os.listdir(self.chunks_dir)
+            if fn.startswith("gen-") and fn.endswith(".parquet")
+        )
+
+    def _gen_file_count(self) -> int:
+        return len(self._gen_files())
+
+    def compact(self, sk: BloomSketch) -> dict:
+        """Fold every generation into ONE full-snapshot generation and
+        delete the older files. Crash-safe at every step: the full file is
+        written tmp+rename (the atomicity idiom used throughout this
+        module), and it supersedes the older generations under load()'s
+        latest-wins fold — so a crash between the rename and the deletes
+        only leaves redundant files, never a torn state."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        old = self._gen_files()
+        meta = self._read_meta()
+        gen = int(meta["generation"]) + 1
+        chunks = sk.extract_all_chunks()
+        tbl = pa.table(
+            {
+                "chunk_id": pa.array([c for c, _ in chunks], type=pa.int64()),
+                "data": pa.array([b for _, b in chunks], type=pa.binary()),
+            }
+        )
+        out = os.path.join(self.chunks_dir, f"gen-{gen:08d}.parquet")
+        pq.write_table(tbl, out + ".tmp")
+        os.rename(out + ".tmp", out)
+        meta["generation"] = gen
+        self._write_meta(meta)
+        for fn in old:
+            os.remove(os.path.join(self.chunks_dir, fn))
+        return {"generation": gen, "compacted_files": len(old)}
 
     def total_chunks(self) -> int:
         meta = self._read_meta()

@@ -31,10 +31,21 @@ import time
 # spark-submit --py-files ships the package zip; when run as a plain
 # script (smoke tests, local debugging) fall back to the repo layout —
 # PYTHONPATH must be set BEFORE the session starts so forked python
-# workers (which unpickle module-referencing closures) inherit it too
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(0, _REPO_ROOT)
-os.environ["PYTHONPATH"] = _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+# workers (which unpickle module-referencing closures) inherit it too.
+# Fallback ONLY when the package is not already importable (ADVICE r2):
+# under --py-files the zip must win — unconditionally prepending the
+# repo root would let a stale working-tree copy shadow the shipped
+# package and leak the env mutation into every subprocess.
+try:
+    import probabilistic_rs_spark  # noqa: F401  (zip or installed copy wins)
+except ImportError:  # plain-script fallback: repo layout
+    _REPO_ROOT = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    sys.path.insert(0, _REPO_ROOT)
+    os.environ["PYTHONPATH"] = (
+        _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
 
 
 def parse_args(argv):

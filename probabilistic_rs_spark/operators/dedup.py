@@ -136,7 +136,16 @@ def jaccard_candidate_index(
         inv = inv.join(freq, "__sh")
     if prefix_filter:
         w = Window.partitionBy("__id").orderBy("__freq", "__sh")
-        prefix_len = F.col("__sz") - F.ceil(F.col("__sz") * F.lit(float(threshold))) + 1
+        # epsilon guard (ADVICE r2): when threshold*sz is mathematically
+        # an integer the double product can land a hair ABOVE it (e.g.
+        # 0.07*100 = 7.000000000000001) and ceil would shorten the
+        # indexed prefix by one, silently dropping a qualifying boundary
+        # pair — the standard prefix-filter guard subtracts an epsilon
+        prefix_len = (
+            F.col("__sz")
+            - F.ceil(F.col("__sz") * F.lit(float(threshold)) - F.lit(1e-9))
+            + 1
+        )
         inv = inv.withColumn("__rn", F.row_number().over(w)).where(
             F.col("__rn") <= prefix_len
         )

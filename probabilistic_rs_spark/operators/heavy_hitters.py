@@ -399,10 +399,20 @@ def salted_apply_in_pandas_agg(
             }
         )
 
+    # salt from STABLE row content (ADVICE r2): monotonically_increasing_id
+    # is nondeterministic across task/stage retries — a recomputed upstream
+    # stage could re-salt rows into different groups after partial shuffle
+    # consumption and double-count/drop them (SPARK-23207 class). Hashing
+    # (key, value) is retry-stable; duplicate (key, value) rows sharing a
+    # salt only skews balance for pathological all-identical-value keys,
+    # never correctness.
     salted = df.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("double").alias("val"),
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)).alias("__salt"),
+        F.pmod(
+            F.xxhash64(F.col(key_col).cast("string"), F.col(value_col)),
+            F.lit(n_salts),
+        ).alias("__salt"),
     )
     stage1 = salted.groupBy("key", "__salt").applyInPandas(fold, out1)
     return stage1.groupBy("key").agg(

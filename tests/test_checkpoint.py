@@ -279,6 +279,45 @@ class TestChunkStore:
         assert total_chunks_written_before > 0
 
 
+    def test_compaction_bounds_generation_files(self, tmp_path):
+        """ADVICE r2: a long-running incremental job must not grow the
+        store without bound — after compact_every snapshots the
+        generations fold into ONE full file, and reconstruction stays
+        bit-identical across the compaction boundary."""
+        import os
+
+        from probabilistic_rs_spark.chunkstore import BloomChunkStore
+        from probabilistic_rs_spark.sketches.bloom import BloomSketch
+
+        d = str(tmp_path / "store")
+        store = BloomChunkStore.create(d, self._cfg())
+        store.compact_every = 5
+        sk = BloomSketch(self._cfg())
+        for i in range(12):  # 12 snapshots, threshold 5 -> 2 compactions
+            sk.update_batch([f"unit{i}_item{j}".encode() for j in range(200)])
+            store.save_snapshot(sk)
+            n_files = len(
+                [f for f in os.listdir(store.chunks_dir) if f.endswith(".parquet")]
+            )
+            assert n_files <= 5
+        _, loaded = BloomChunkStore.load(d)
+        assert loaded.to_bytes() == sk.to_bytes()
+        assert loaded.n_updates == sk.n_updates
+        # frozen dirt tracker semantics survive compaction
+        sk.update_batch([b"post_compact"])
+        s = store.save_snapshot(sk)
+        assert 0 < s["chunks_written"] <= sk.k
+        _, loaded2 = BloomChunkStore.load(d)
+        assert loaded2.to_bytes() == sk.to_bytes()
+
+    def test_compact_every_validation(self, tmp_path):
+        from probabilistic_rs_spark.chunkstore import BloomChunkStore
+        from probabilistic_rs_spark.errors import SketchConfigError
+
+        with pytest.raises(SketchConfigError):
+            BloomChunkStore(str(tmp_path / "x"), compact_every=1)
+
+
 class TestWindowedChunkStores:
     """Per-window incremental persistence — expiring-filter storage parity
     (src/ebloom/storage.rs per-level partitions :210-243, delete_level;
