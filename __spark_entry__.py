@@ -158,6 +158,41 @@ def _q_bloom_members_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quotient_members_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last structure on the reference's planned list
+    (specs/overview.md:20-24) end-to-end: quotient filter built over
+    orders' custkeys through the generic sketch_aggregate partial/merge
+    (its sorted-run union is truly associative — unlike cuckoo), DELETE
+    the present multiples of 3 (set-style remove-all, executor-prefiltered
+    feed), then probe members + never-present keys. Output = exact
+    surviving member set (fpr 1e-8 → expected FP ≈ 0, deterministic; zero
+    false negatives by construction)."""
+    from probabilistic_rs_spark.operators.quotient import (
+        build_quotient_state,
+        quotient_delete,
+        quotient_probe,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    state = build_quotient_state(
+        orders, "o_custkey", capacity=orders.count(), false_positive_rate=1e-8
+    )
+    doomed = customer.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    state, _ = quotient_delete(state, doomed, "k")
+    probes = customer.select(F.col("c_custkey").alias("custkey")).union(
+        customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
+    )
+    return (
+        quotient_probe(probes, "custkey", state)
+        .where(F.col("is_member"))
+        .select("custkey")
+        .distinct()
+    )
+
+
 def _q_native_bloom_members_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native-hash (JVM-probe) Bloom semi-join — same contract as
     `bloom_members_custkey` but the probe predicate runs entirely inside
@@ -811,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_exact_supplier_counts": _q_salted_exact_supplier_counts,
         "bloom_members_custkey": _q_bloom_members_custkey,
         "native_bloom_members_custkey": _q_native_bloom_members_custkey,
+        "quotient_members_after_delete": _q_quotient_members_after_delete,
         "bloom_fpr_gate": _q_bloom_fpr_gate,
         "bloom_semi_filter_urgent": _q_bloom_semi_filter_urgent,
         "bloom_incremental_checkpoint": _q_bloom_incremental_checkpoint,
@@ -891,6 +927,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
         "cuckoo_members_after_delete": (
+            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+            "AND c_custkey % 3 != 0"
+        ),
+        "quotient_members_after_delete": (
             "SELECT DISTINCT c_custkey AS custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
             "AND c_custkey % 3 != 0"

@@ -19,47 +19,17 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
-from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+from probabilistic_rs_spark.operators.sketch_agg import (
+    SketchSpec,
+    build_global_state,
+    sketch_aggregate,
+)
 from probabilistic_rs_spark.sketches.bloom import BloomSketch
 
 # executor-side cache: deserialize a broadcast filter once per worker,
 # not once per Arrow batch (analog of the reference's long-lived filter
 # object behind Arc<RwLock>, src/bloom/filter.rs:20-34)
 _FILTER_CACHE: dict[str, BloomSketch] = {}
-
-
-def _build_state_driver_fold(df: DataFrame, spec: SketchSpec) -> bytes:
-    """Global (ungrouped) build fast path: collect the sparse per-partition
-    partials straight to the driver and fold there — skipping the
-    single-reducer shuffle stage whose only consumer is the driver anyway
-    (``treeAggregate``'s final combine is driver-side for the same
-    reason). Bounded: callers only take this path when the partition count
-    is modest (``resolve_tree_fanin`` returned None); huge scans go
-    through the bucketed pre-merge + reducer path. Bit-identical output:
-    partials are folded sorted by partition id and OR is commutative."""
-    from probabilistic_rs_spark.operators.sketch_agg import sketch_partials
-
-    rows = sketch_partials(df, [], [spec]).select("__pid", spec.state_col).collect()
-    if not rows:  # empty input -> empty filter, not a crash
-        return spec.make().to_bytes()
-    rows.sort(key=lambda r: r["__pid"])
-    sk = type(spec.make()).from_bytes(bytes(rows[0][spec.state_col]))
-    for r in rows[1:]:
-        sk.merge_bytes(bytes(r[spec.state_col]))
-    return sk.to_bytes()
-
-
-def _build_state(df: DataFrame, spec: SketchSpec, tree_fanin) -> bytes:
-    from probabilistic_rs_spark.operators.sketch_agg import resolve_tree_fanin
-
-    fanin = resolve_tree_fanin(df, tree_fanin)
-    if fanin is None:
-        return _build_state_driver_fold(df, spec)
-    merged = sketch_aggregate(df, [], [spec], tree_fanin=fanin)
-    row = merged.select(spec.state_col).head()
-    if row is None:
-        return spec.make().to_bytes()
-    return bytes(row[spec.state_col])
 
 
 def build_bloom_state(
@@ -83,7 +53,7 @@ def build_bloom_state(
         item_col,
         {"capacity": capacity, "false_positive_rate": false_positive_rate},
     )
-    return _build_state(df, spec, tree_fanin)
+    return build_global_state(df, spec, tree_fanin)
 
 
 def _get_filter(key: str, blob: bytes) -> BloomSketch:
@@ -161,7 +131,7 @@ def build_native_bloom_state(
         item_col,
         {"capacity": capacity, "false_positive_rate": false_positive_rate},
     )
-    return _build_state(df, spec, tree_fanin)
+    return build_global_state(df, spec, tree_fanin)
 
 
 # driver-side cache: the one-row words relation per filter state, so

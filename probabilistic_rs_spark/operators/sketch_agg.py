@@ -58,6 +58,8 @@ _VALUE_KIND = {
     "nbloom": "positions",  # JVM-side xxhash64 bit positions → kernel only scatters
     "hll": "hash",      # JVM-side xxhash64 → kernel only does register max
     "cms": "hash",      # JVM-side xxhash64 → kernel only does counter scatter
+    "quotient": "hash",  # JVM-side xxhash64 → kernel takes top p bits, sorts
+
     "tdigest": "float",
     "kll": "float",
 }
@@ -95,6 +97,10 @@ class SketchSpec:
             return HyperLogLog(**self.params)
         if self.kind == "cms":
             return CountMinSketch(**self.params)
+        if self.kind == "quotient":
+            from probabilistic_rs_spark.sketches.quotient import QuotientFilter
+
+            return QuotientFilter(**self.params)
         if self.kind == "tdigest":
             return TDigest(**self.params)
         return KLLSketch(**self.params)
@@ -368,6 +374,39 @@ def sketch_aggregate(
     """End-to-end: partial build → shuffle → merge. Returns one row per
     group with ``{name}_state`` binary columns + ``n_updates``."""
     return sketch_merge(sketch_partials(df, group_cols, specs), group_cols, specs, tree_fanin)
+
+
+def build_global_state(df: DataFrame, spec: SketchSpec, tree_fanin="auto") -> bytes:
+    """GLOBAL (ungrouped) build of one sketch, returning the merged state
+    bytes on the driver (where a global state always ends up — it is the
+    thing callers broadcast).
+
+    Two physical strategies, picked by partition count exactly like
+    ``treeAggregate``: with a modest partition count the per-partition
+    partials are collected and folded driver-side (skipping a shuffle
+    stage whose lone reducer's only consumer is the driver); with many
+    partitions a bucketed executor-side pre-merge bounds what the driver
+    sees to ``fanin`` blobs. Fold order is partition-id-sorted →
+    bit-identical states under any scheduling."""
+    fanin = resolve_tree_fanin(df, tree_fanin)
+    if fanin is None:
+        rows = sketch_partials(df, [], [spec]).select("__pid", spec.state_col).collect()
+        if not rows:  # empty input -> empty sketch, not a crash
+            return spec.make().to_bytes()
+        rows.sort(key=lambda r: r["__pid"])
+        sk = type(spec.make()).from_bytes(bytes(rows[0][spec.state_col]))
+        fold = getattr(sk, "merge_bytes", None)
+        for r in rows[1:]:
+            if fold is not None:
+                fold(bytes(r[spec.state_col]))
+            else:
+                sk.merge(type(sk).from_bytes(bytes(r[spec.state_col])))
+        return sk.to_bytes()
+    merged = sketch_aggregate(df, [], [spec], tree_fanin=fanin)
+    row = merged.select(spec.state_col).head()
+    if row is None:
+        return spec.make().to_bytes()
+    return bytes(row[spec.state_col])
 
 
 # ---------------------------------------------------------------------------

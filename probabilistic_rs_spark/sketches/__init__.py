@@ -24,6 +24,7 @@ from probabilistic_rs_spark.sketches.native_bloom import (
 from probabilistic_rs_spark.sketches.cuckoo import CuckooFilter
 from probabilistic_rs_spark.sketches.hll import HyperLogLog
 from probabilistic_rs_spark.sketches.kll import KLLSketch
+from probabilistic_rs_spark.sketches.quotient import QuotientFilter
 from probabilistic_rs_spark.sketches.tdigest import TDigest
 
 __all__ = [
@@ -33,6 +34,7 @@ __all__ = [
     "NativeBloomPartialBuilder",
     "NativeBloomSketch",
     "CuckooFilter",
+    "QuotientFilter",
     "HyperLogLog",
     "CountMinSketch",
     "TDigest",

@@ -21,6 +21,7 @@ TYPE_TDIGEST = 4
 TYPE_KLL = 5
 TYPE_CUCKOO = 6
 TYPE_NBLOOM = 7  # native-hash Bloom: JVM xxhash64 position family
+TYPE_QUOTIENT = 8
 
 _HEADER = struct.Struct("<4sHH")  # magic, type, version
 

@@ -40,9 +40,12 @@ import struct
 import numpy as np
 
 from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
-from probabilistic_rs_spark.sketches.base import pack_header, unpack_header, unpack_meta
-
-TYPE_QUOTIENT = 8
+from probabilistic_rs_spark.sketches.base import (
+    TYPE_QUOTIENT,
+    pack_header,
+    unpack_header,
+    unpack_meta,
+)
 
 _META = struct.Struct("<qdqqqq")  # capacity, fpr, q, r, n_updates, n_items
 
@@ -174,6 +177,24 @@ class QuotientFilter:
             self.fps = np.repeat(have_vals[keep], have_counts[keep])
         return n_removed
 
+    def remove_all(self, fp_values: np.ndarray) -> int:
+        """Remove EVERY occurrence of the given fingerprint values
+        (set-style deletion: used when the engine deletes keys rather
+        than occurrences). Returns occurrences removed."""
+        if len(fp_values) == 0:
+            return 0
+        self._consolidate()
+        if len(self.fps) == 0:
+            return 0
+        fp = np.unique(np.asarray(fp_values).astype(self.fps.dtype, copy=False))
+        idx = np.searchsorted(fp, self.fps)
+        idx_c = np.minimum(idx, len(fp) - 1)
+        doomed = fp[idx_c] == self.fps
+        n_removed = int(doomed.sum())
+        if n_removed:
+            self.fps = self.fps[~doomed]
+        return n_removed
+
     # -- merge ----------------------------------------------------------------
 
     def merge(self, other: "QuotientFilter") -> "QuotientFilter":
@@ -230,7 +251,10 @@ class QuotientFilter:
         if (sk.q, sk.r) != (q, r):
             raise SketchStateError("derived (q,r) mismatch on deserialize")
         payload_off = off + _META.size
-        fps = np.frombuffer(data, dtype=sk._dtype, offset=payload_off)
+        try:
+            fps = np.frombuffer(data, dtype=sk._dtype, offset=payload_off)
+        except ValueError as e:  # truncated / non-multiple payload
+            raise SketchStateError(f"corrupt quotient state: {e}") from e
         if len(fps) != n_items:
             raise SketchStateError(
                 f"corrupt quotient state: payload has {len(fps)} items, "

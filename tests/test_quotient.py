@@ -1,0 +1,188 @@
+"""Quotient filter — core algebra, accuracy gates, and distributed
+build/probe/delete (the reference's last planned structure,
+``/root/reference/specs/overview.md:20-24``).
+
+Mirrors the gate structure of the cuckoo/Bloom suites: zero false
+negatives, FPR within the published bound (n·2^-p), merge
+associativity/commutativity down to bit equality, delete-exactness, and
+partitioning-invariant distributed builds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
+from probabilistic_rs_spark.functions.hashing import splitmix64
+from probabilistic_rs_spark.sketches.quotient import QuotientFilter, quotient_params
+
+
+def _hashes(n, seed=0):
+    return splitmix64(np.arange(seed * 10_000_000, seed * 10_000_000 + n, dtype=np.uint64))
+
+
+class TestCore:
+    def test_params_cover_capacity_and_fpr(self):
+        q, r = quotient_params(100_000, 0.01)
+        assert (1 << q) * 0.95 >= 100_000
+        assert 0.95 * 2.0 ** (-r) <= 0.01
+
+    def test_param_validation(self):
+        with pytest.raises(SketchConfigError):
+            quotient_params(0, 0.01)
+        with pytest.raises(SketchConfigError):
+            quotient_params(100, 1.5)
+        with pytest.raises(SketchConfigError):
+            quotient_params(10**15, 1e-9)  # > 64 fingerprint bits
+
+    def test_no_false_negatives_and_fpr_bound(self):
+        n = 50_000
+        sk = QuotientFilter(n, 0.01)
+        h = _hashes(n)
+        sk.update_hashes(h)
+        assert sk.contains_hashes(h).all()  # zero FN
+        strangers = _hashes(200_000, seed=7)
+        fpr = sk.contains_hashes(strangers).mean()
+        assert fpr <= 3.0 * sk.false_positive_rate() + 1e-9
+        assert sk.false_positive_rate() <= 0.01  # bound itself within target
+
+    def test_overflow_raises(self):
+        sk = QuotientFilter(1000, 0.01)
+        with pytest.raises(SketchStateError, match="overflow"):
+            sk.update_hashes(_hashes(1 << sk.q))
+
+    def test_merge_associative_commutative_bit_identical(self):
+        n = 10_000
+        parts = [_hashes(n, seed=s) for s in range(1, 4)]
+        sks = []
+        for hs in parts:
+            sk = QuotientFilter(60_000, 0.01)
+            sk.update_hashes(hs)
+            sks.append(sk.to_bytes())
+        a = QuotientFilter.from_bytes(sks[0]).merge_bytes(sks[1]).merge_bytes(sks[2])
+        b = QuotientFilter.from_bytes(sks[2]).merge_bytes(sks[0]).merge_bytes(sks[1])
+        c = QuotientFilter.from_bytes(sks[1]).merge(
+            QuotientFilter.from_bytes(sks[2]).merge_bytes(sks[0])
+        )
+        assert a.to_bytes() == b.to_bytes() == c.to_bytes()
+        assert a.n_updates == 3 * n
+
+    def test_delete_one_occurrence_vs_remove_all(self):
+        sk = QuotientFilter(10_000, 0.001)
+        h = _hashes(100)
+        sk.update_hashes(h)
+        sk.update_hashes(h[:50])  # duplicates: multiset
+        assert sk.n_items == 150
+        # multiset delete removes ONE occurrence
+        assert sk.delete_hashes(h[:50]) == 50
+        assert sk.contains_hashes(h[:50]).all()  # second copy remains
+        # remove_all wipes every occurrence
+        fp = (h[:50] >> np.uint64(64 - sk.p)).astype(sk.fps.dtype)
+        assert sk.remove_all(np.sort(fp)) == 50
+        assert not sk.contains_hashes(h[:50]).any()
+        assert sk.contains_hashes(h[50:]).all()  # survivors intact
+
+    def test_serialization_roundtrip_and_corruption(self):
+        sk = QuotientFilter(5_000, 0.01)
+        sk.update_hashes(_hashes(3_000))
+        blob = sk.to_bytes()
+        back = QuotientFilter.from_bytes(blob)
+        assert np.array_equal(back.fps, sk.fps)
+        assert back.n_updates == sk.n_updates
+        with pytest.raises(SketchStateError):
+            QuotientFilter.from_bytes(blob[: len(blob) - 3])  # truncated payload
+        with pytest.raises(SketchStateError):
+            QuotientFilter.from_bytes(b"PRS1" + blob[4:][:20])
+
+    def test_wide_fingerprint_uses_uint64(self):
+        sk = QuotientFilter(200_000_000, 1e-6)
+        assert sk.p > 32 and sk.fps.dtype == np.uint64
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.usefixtures("spark")
+class TestSpark:
+    def test_build_probe_zero_fn_fpr(self, spark):
+        from probabilistic_rs_spark.operators.quotient import (
+            build_quotient_state,
+            quotient_probe,
+        )
+
+        n = 20_000
+        members = spark.range(n).select(F.concat(F.lit("q"), F.col("id")).alias("k"))
+        state = build_quotient_state(members, "k", capacity=n, false_positive_rate=0.001)
+        fn = quotient_probe(members, "k", state).where(~F.col("is_member")).count()
+        assert fn == 0
+        strangers = spark.range(50_000).select(
+            F.concat(F.lit("zz"), F.col("id")).alias("k")
+        )
+        fp = quotient_probe(strangers, "k", state).where(F.col("is_member")).count()
+        assert fp / 50_000 <= 3.0 * 0.001
+
+    def test_build_invariant_to_partitioning(self, spark):
+        from probabilistic_rs_spark.operators.quotient import build_quotient_state
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        a = build_quotient_state(orders.coalesce(1), "o_custkey", capacity=20_000)
+        b = build_quotient_state(orders.repartition(16), "o_custkey", capacity=20_000)
+        assert a == b  # sorted-run union: bit-identical under any layout
+
+    def test_grouped_aggregate_composes(self, spark):
+        from probabilistic_rs_spark.operators.sketch_agg import (
+            SketchSpec,
+            sketch_aggregate,
+        )
+        from probabilistic_rs_spark.sketches.quotient import QuotientFilter
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        agg = sketch_aggregate(
+            ev,
+            ["event_type"],
+            [SketchSpec("users", "quotient", "user_id", {"capacity": 50_000})],
+        )
+        rows = agg.collect()
+        assert rows
+        for r in rows:
+            qf = QuotientFilter.from_bytes(bytes(r["users_state"]))
+            assert qf.n_items == qf.n_updates > 0  # one fp per row absorbed
+
+    def test_distributed_delete_removes_all_occurrences(self, spark):
+        from probabilistic_rs_spark.operators.quotient import (
+            build_quotient_state,
+            quotient_delete,
+            quotient_probe,
+        )
+
+        # duplicated build rows: set-style delete must still fully remove
+        base = spark.range(10_000).select(F.concat(F.lit("e"), F.col("id")).alias("k"))
+        built = base.union(base.limit(5_000))
+        # fpr tiny so expected FPs over the 400k-stranger feed ≈ 1e-5 —
+        # a stranger FP passing the prefilter would (by definition of FP)
+        # collide with a stored fingerprint and delete it: the documented
+        # QF deletion hazard, sized away here exactly as a production
+        # purge pipeline would
+        state = build_quotient_state(
+            built, "k", capacity=20_000, false_positive_rate=1e-7
+        )
+        doomed = spark.range(0, 10_000, 2).select(
+            F.concat(F.lit("e"), F.col("id")).alias("k")
+        )
+        # include never-present keys in the feed: prefilter drops them
+        feed = doomed.union(
+            spark.range(5_000_000, 5_400_000).select(
+                F.concat(F.lit("e"), F.col("id")).alias("k")
+            )
+        )
+        state2, removed = quotient_delete(state, feed, "k")
+        assert removed >= 5_000  # every even key, incl. duplicated copies
+        res = {
+            r["k"]: r["is_member"]
+            for r in quotient_probe(base, "k", state2).collect()
+        }
+        assert not any(res[f"e{i}"] for i in range(0, 10_000, 2))
+        assert all(res[f"e{i}"] for i in range(1, 10_000, 2))
