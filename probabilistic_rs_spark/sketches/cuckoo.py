@@ -54,6 +54,17 @@ _META = struct.Struct("<qqqqq")
 _MAX_KICKS = 500
 
 
+def _rank_in_group(sorted_keys: np.ndarray) -> np.ndarray:
+    """0-based rank of each element within its run of equal keys
+    (input must be sorted by key)."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    first = np.flatnonzero(np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1])))
+    run_lens = np.diff(np.concatenate((first, [n])))
+    return np.arange(n) - np.repeat(first, run_lens)
+
+
 class CuckooFilter:
     __slots__ = ("capacity", "fingerprint_bits", "bucket_size", "m", "table", "n_items")
 
@@ -103,48 +114,100 @@ class CuckooFilter:
         """Insert a batch of 64-bit item hashes. Deterministic for a given
         input order (build from np.unique-sorted hashes for partition-
         order-independent tables). Raises when the table cannot absorb an
-        item within the kick budget (filter effectively full)."""
-        fps, i1s, i2s = self._fp_and_buckets(np.asarray(hashes))
+        item within the kick budget (filter effectively full).
+
+        Two-phase vectorized bulk path (VERDICT r2 #5) when the table is
+        empty (the shard-build hot path — one ``insert_hashes`` over the
+        whole shard): phase A places every item that fits its home bucket
+        (one stable argsort + rank-in-group, slots assigned in arrival
+        order), phase B places home-bucket overflow into alternate
+        buckets the same way, and only the residual few percent walk the
+        per-item displacement chain. Placement order is a pure function
+        of the input order → bit-identical tables under any partitioning,
+        exactly like the sequential path."""
+        hashes = np.asarray(hashes)
+        if len(hashes) == 0:
+            return
+        fps, i1s, i2s = self._fp_and_buckets(hashes)
+        if self.n_items == 0 and not self.table.any():
+            leftover = self._bulk_place(fps, i1s, i2s)
+            if len(leftover) == 0:
+                return
+            fps, i1s, i2s = fps[leftover], i1s[leftover], i2s[leftover]
+        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
+            self._insert_one(fp, i1, i2)
+
+    def _bulk_place(self, fps: np.ndarray, i1s: np.ndarray, i2s: np.ndarray) -> np.ndarray:
+        """Vectorized free-slot placement into an EMPTY table. Returns the
+        (arrival-ordered) indices of items needing the displacement loop."""
+        b = self.bucket_size
+        n = len(fps)
+        # phase A: home buckets. Stable sort by bucket keeps arrival order
+        # within each bucket; rank-in-group < b wins slots 0..b-1.
+        order_a = np.argsort(i1s, kind="stable")
+        buck_a = i1s[order_a]
+        rank_a = _rank_in_group(buck_a)
+        place_a = rank_a < b
+        self.table[buck_a[place_a], rank_a[place_a]] = fps[order_a[place_a]]
+        self.n_items += int(place_a.sum())
+        spill = np.sort(order_a[~place_a])  # back to arrival order
+        if len(spill) == 0:
+            return spill
+        # phase B: alternate buckets, appending after phase-A occupants
+        fill = np.bincount(
+            buck_a[place_a], minlength=self.m
+        )  # phase-A occupancy per bucket (all < = b)
+        order_b = spill[np.argsort(i2s[spill], kind="stable")]
+        buck_b = i2s[order_b]
+        rank_b = _rank_in_group(buck_b)
+        free_b = b - fill[buck_b]
+        place_b = rank_b < free_b
+        self.table[buck_b[place_b], (fill[buck_b] + rank_b)[place_b]] = fps[
+            order_b[place_b]
+        ]
+        self.n_items += int(place_b.sum())
+        return np.sort(order_b[~place_b])
+
+    def _insert_one(self, fp: int, i1: int, i2: int) -> None:
         table = self.table
         b = self.bucket_size
-        for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
-            placed = False
-            for i in (i1, i2):
-                row = table[i]
-                for s in range(b):
-                    if row[s] == 0:
-                        row[s] = fp
-                        placed = True
-                        break
-                if placed:
+        placed = False
+        for i in (i1, i2):
+            row = table[i]
+            for s in range(b):
+                if row[s] == 0:
+                    row[s] = fp
+                    placed = True
                     break
             if placed:
-                self.n_items += 1
-                continue
-            # displacement chain, deterministic slot choice
-            i = i2
-            cur = fp
-            for kick in range(_MAX_KICKS):
-                s = kick % b
-                victim = int(table[i, s])
-                table[i, s] = cur
-                cur = victim
-                i = self._alt_bucket(cur, i)
-                row = table[i]
-                done = False
-                for s2 in range(b):
-                    if row[s2] == 0:
-                        row[s2] = cur
-                        done = True
-                        break
-                if done:
-                    break
-            else:
-                raise SketchStateError(
-                    f"cuckoo filter full at {self.n_items} items "
-                    f"(capacity {self.capacity})"
-                )
+                break
+        if placed:
             self.n_items += 1
+            return
+        # displacement chain, deterministic slot choice
+        i = i2
+        cur = fp
+        for kick in range(_MAX_KICKS):
+            s = kick % b
+            victim = int(table[i, s])
+            table[i, s] = cur
+            cur = victim
+            i = self._alt_bucket(cur, i)
+            row = table[i]
+            done = False
+            for s2 in range(b):
+                if row[s2] == 0:
+                    row[s2] = cur
+                    done = True
+                    break
+            if done:
+                break
+        else:
+            raise SketchStateError(
+                f"cuckoo filter full at {self.n_items} items "
+                f"(capacity {self.capacity})"
+            )
+        self.n_items += 1
 
     def delete_hashes(self, hashes: np.ndarray) -> int:
         """Remove one matching fingerprint per input hash (from either
