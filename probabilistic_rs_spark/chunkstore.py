@@ -292,15 +292,49 @@ class WindowedBloomChunkStores:
             d.split("=", 1)[1] for d in os.listdir(self.root) if d.startswith("window=")
         )
 
-    def absorb(self, window_key: str, state_blob: bytes) -> dict:
+    def absorb(self, window_key: str, state_blob: bytes, full_state: bool = False) -> dict:
         """Fold a serialized partial into the window's live filter and
-        snapshot ONLY the chunks this fold dirtied."""
+        snapshot ONLY the chunks whose bits actually CHANGED.
+
+        ``full_state=True`` declares the blob to be the window's full
+        authoritative state (the streaming operator's emission) rather
+        than a disjoint partial: bits still fold by OR (idempotent), but
+        ``n_updates`` is SET from the blob instead of accumulated, so
+        re-absorbing a window's state every micro-batch cannot inflate
+        the counter.
+
+        The change check matters for the streaming sink, which absorbs
+        the window's FULL state every micro-batch (that is what the
+        stateful operator emits): ``merge_bytes`` alone would mark every
+        chunk the blob touches, so each batch would rewrite the window's
+        whole history instead of the batch's new bits. Comparing the
+        candidate chunks against the pre-merge image keeps the write
+        volume proportional to what the batch added — the reference's
+        dirty-chunk contract (``src/ebloom/filter.rs:344-375``).
+        Dirt carried over from a previously failed snapshot is preserved
+        (union, not replacement)."""
+        import numpy as np
+
         entry = self._live.get(window_key)
         if entry is None:
             entry = BloomChunkStore.create_or_load(self._wdir(window_key), self.config)
             self._live[window_key] = entry
         store, sk = entry
+        prev_dirty = set(sk.dirty_chunks)
+        pre = sk.bits.copy()
+        pre_updates = sk.n_updates
         sk.merge_bytes(state_blob)
+        if full_state:
+            sk.n_updates = sk.n_updates - pre_updates  # blob's own counter
+        cs = sk.config.chunk_size_bytes
+        changed = {
+            cid
+            for cid in sk.dirty_chunks
+            if not np.array_equal(
+                pre[cid * cs : (cid + 1) * cs], sk.bits[cid * cs : (cid + 1) * cs]
+            )
+        }
+        sk.dirty_chunks = changed | prev_dirty
         return store.save_snapshot(sk, incremental=True)
 
     def load(self, window_key: str) -> BloomSketch:

@@ -213,3 +213,104 @@ class TestExpiringStatsAndRetention:
         # retention never changes what the active-set probe sees
         assert after == before
         assert {w for w, _, _ in levels_after} == {w for w, _, _ in levels_before}
+
+
+class TestStreamingChunkPersistence:
+    """foreachBatch × WindowedBloomChunkStores (VERDICT r2 #6): the
+    streaming expiring Bloom persists per-window dirty chunks in the
+    reference's externalized layout (src/ebloom/storage.rs:177-253)
+    alongside Spark's opaque checkpoint — kill/restart, then reloaded
+    window states must equal the batch-computed states bit-for-bit."""
+
+    def test_kill_restart_states_bit_identical(self, spark, events, tmp_path):
+        import glob
+        import os
+        import shutil
+
+        from probabilistic_rs_spark.chunkstore import WindowedBloomChunkStores
+        from probabilistic_rs_spark.operators.windowed_bloom import (
+            windowed_bloom_states,
+        )
+        from probabilistic_rs_spark.sketches.bloom import BloomConfig, BloomSketch
+        from probabilistic_rs_spark.streaming import (
+            start_persisted_windowed_bloom,
+            streaming_windowed_bloom,
+        )
+        from probabilistic_rs_spark.streaming.persistence import window_key
+
+        tmin, tmax = events.agg(F.min("ts"), F.max("ts")).head()
+        span = (tmax - tmin).total_seconds()
+        bounds = [tmin + _td(span * f) for f in (0.34, 0.67)]
+        parts = [
+            events.where(F.col("ts") < bounds[0]),
+            events.where((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+            events.where(F.col("ts") >= bounds[1]),
+        ]
+        staged = str(tmp_path / "staged")
+        for i, p in enumerate(parts):
+            p.coalesce(1).write.parquet(f"{staged}/f{i}")
+        flat = str(tmp_path / "flat")
+        os.makedirs(flat)
+
+        def add_file(i: int) -> None:
+            for f in glob.glob(f"{staged}/f{i}/part-*.parquet"):
+                dst = f"{flat}/{i:02d}_{os.path.basename(f)}"
+                shutil.copy(f, dst)
+                os.utime(dst, (time.time() + i, time.time() + i))
+
+        cfg = BloomConfig(capacity=10_000, false_positive_rate=0.01)
+        stores = WindowedBloomChunkStores(str(tmp_path / "wstores"), cfg, num_levels=20)
+        ckpt = str(tmp_path / "ck")
+        kwargs = dict(
+            level_duration="7 days",
+            watermark_delay="1 day",
+            capacity_per_level=10_000,
+            target_fpr=0.01,
+        )
+
+        def run_once():
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(flat)
+            )
+            out = streaming_windowed_bloom(stream, "ts", "user_id", **kwargs)
+            q = start_persisted_windowed_bloom(out, stores, ckpt, available_now=True)
+            q.awaitTermination(120)
+
+        # phase 1: two files, then the query terminates (the "kill")
+        add_file(0)
+        add_file(1)
+        run_once()
+        assert stores.windows(), "phase 1 persisted no windows"
+        # snapshot the earliest window's on-disk file set: phase 2's data
+        # is strictly later, so this frozen window must not be rewritten
+        w0 = stores.windows()[0]
+        w0_chunks = os.path.join(stores._wdir(w0), "chunks")
+        frozen_before = sorted(os.listdir(w0_chunks))
+
+        # phase 2: new file arrives, NEW query resumes from the checkpoint
+        add_file(2)
+        run_once()
+
+        assert sorted(os.listdir(w0_chunks)) == frozen_before
+
+        # reloaded states equal the batch-computed ground truth bit-for-bit
+        batch = windowed_bloom_states(
+            events, "ts", "user_id",
+            level_duration="7 days", capacity_per_level=10_000, target_fpr=0.01,
+        )
+        want = {
+            window_key(r["window_start"]): (bytes(r["bloom_state"]), r["n_updates"])
+            for r in batch.collect()
+        }
+        got_keys = set(stores.windows())
+        # streaming may drop late rows beyond the watermark; every
+        # persisted window must exist in the batch truth
+        assert got_keys <= set(want)
+        assert len(got_keys) >= 2
+        for w in got_keys:
+            reloaded = stores.load(w)
+            truth = BloomSketch.from_bytes(want[w][0])
+            assert reloaded.bits.tobytes() == truth.bits.tobytes(), w
+            assert reloaded.n_updates == want[w][1], w
