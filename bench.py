@@ -158,6 +158,51 @@ def q_pages_bloom_membership(spark):
     return PAGES_ROWS, hits
 
 
+def q_pages_simhash_fingerprints(spark):
+    """LLM-pipeline kernel #1 (VERDICT r2 #7): SimHash fingerprints over
+    a deterministic 20% page sample — the linear signature stage whose
+    throughput the pair join rides on. (The pair JOIN itself is not
+    benched on pages: the
+    synthetic text draws ~100 words from a ~40-word vocabulary, so nearly
+    every doc pair is a true near-duplicate and any pair enumeration is
+    quadratic by construction — 22M pairs from a 20% sample, measured.
+    Pair-join correctness is oracle-gated on the realistic documents
+    table instead.)"""
+    from probabilistic_rs_spark.operators.dedup import with_simhash
+
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(PAGES_PATH)
+        .where(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
+        .select("url", "text")
+    )
+    n_rows = docs.count()
+    out = with_simhash(docs, "url", "text").selectExpr(
+        "count(distinct simhash) as n"
+    ).head()["n"]
+    return n_rows, out
+
+
+def q_pages_minhash_signatures(spark):
+    """LLM-pipeline kernel #2: 128-permutation MinHash signatures over a
+    deterministic 20% page sample (the reduceat-vectorized kernel)."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.dedup import minhash_signatures
+
+    docs = (
+        spark.read.parquet(PAGES_PATH)
+        .where(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
+        .select("url", "text")
+    )
+    n = docs.count()
+    sigs = minhash_signatures(docs, "url", "text", n=2, num_perm=128)
+    # bit_xor: forces full materialization without ANSI long-sum overflow
+    out = sigs.selectExpr("bit_xor(sig[0]) as s").head()["s"]
+    return n, out
+
+
 def q_lineitem_flagship(spark):
     """Multi-sketch single pass over lineitem grouped by returnflag."""
     from probabilistic_rs_spark.operators.sketch_agg import (
@@ -194,6 +239,8 @@ QUERIES = {
     "pages_heavy_hosts": q_pages_heavy_hosts,
     "pages_quantiles": q_pages_quantiles,
     "pages_bloom_membership": q_pages_bloom_membership,
+    "pages_simhash_fingerprints": q_pages_simhash_fingerprints,
+    "pages_minhash_signatures": q_pages_minhash_signatures,
     "lineitem_flagship_multisketch": q_lineitem_flagship,
     "events_distinct_users": q_events_distinct_users,
 }

@@ -373,6 +373,26 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> U64(31))
 
 
+def splitmix64_inplace(z: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """splitmix64 over a PRELOADED u64 array, in place, with one scratch
+    array — bit-identical to :func:`splitmix64` (same wrapping u64 ops in
+    the same order) but zero fresh allocations. The expression form churns
+    ~6 full-size temporaries per call; on the big (rows × num_perm)
+    minhash matrices that temporary traffic, not the arithmetic, is the
+    cost (same class of fix as the in-place murmur block loop above)."""
+    with np.errstate(over="ignore"):
+        np.add(z, U64(0x9E3779B97F4A7C15), out=z)
+        np.right_shift(z, U64(30), out=tmp)
+        np.bitwise_xor(z, tmp, out=z)
+        np.multiply(z, U64(0xBF58476D1CE4E5B9), out=z)
+        np.right_shift(z, U64(27), out=tmp)
+        np.bitwise_xor(z, tmp, out=z)
+        np.multiply(z, U64(0x94D049BB133111EB), out=z)
+        np.right_shift(z, U64(31), out=tmp)
+        np.bitwise_xor(z, tmp, out=z)
+    return z
+
+
 def hash64_batch(items: np.ndarray | list[bytes]) -> np.ndarray:
     """64-bit hash of a byte-string batch: murmur32(seed 0) and fnv1a64
     combined through splitmix64. Used by HLL/CMS/minhash kernels when the

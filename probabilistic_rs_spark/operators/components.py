@@ -35,6 +35,7 @@ def connected_components(
     dst_col: str = "id_b",
     max_iter: int = 25,
     localCheckpoint_every: int = 5,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Connected components of an undirected edge list.
 
@@ -43,12 +44,23 @@ def connected_components(
     only ever appear if they occur in an edge; isolated rows should be
     handled by the caller (they are their own component trivially).
 
-    Raises after ``max_iter`` rounds without convergence — near-dup
-    graphs converge in a few rounds; hitting the cap means the input is
-    not the sparse cluster graph this is meant for.
+    ``algorithm``:
+      * ``"propagation"`` — min-label propagation: O(diameter) rounds,
+        two hash-shuffles each; the cheapest path for near-dup graphs
+        (overwhelmingly small dense clusters, diameter ≲ 3). Raises after
+        ``max_iter`` rounds without convergence.
+      * ``"star"`` — large-star/small-star alternation [Kiveris et al.,
+        "Connected Components in MapReduce and Beyond", SoCC'14]:
+        O(log n) rounds on ANY graph shape, including long chains.
+      * ``"auto"`` (default) — propagation for up to min(8, max_iter)
+        rounds, then switch to star alternation instead of failing
+        (VERDICT r2 #9: worst-case drops O(diameter) → O(log n) with the
+        same API).
     """
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
+    if algorithm not in ("auto", "propagation", "star"):
+        raise SketchConfigError(f"unknown algorithm {algorithm!r}")
     numeric = (ByteType, ShortType, IntegerType, LongType)
     for c in (src_col, dst_col):
         if not isinstance(edges.schema[c].dataType, numeric):
@@ -63,6 +75,20 @@ def connected_components(
         F.col(src_col).cast("long").alias("s"), F.col(dst_col).cast("long").alias("d")
     )
     sym = sym.union(sym.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    if algorithm == "star":
+        return _star_components(sym, max_iter, localCheckpoint_every)
+    prop_rounds = min(8, max_iter) if algorithm == "auto" else max_iter
+    try:
+        return _propagation_components(sym, prop_rounds, localCheckpoint_every)
+    except SketchConfigError:
+        if algorithm != "auto":
+            raise
+        return _star_components(sym, max_iter, localCheckpoint_every)
+
+
+def _propagation_components(
+    sym: DataFrame, max_iter: int, localCheckpoint_every: int
+) -> DataFrame:
     labels = (
         sym.select(F.col("s").alias("vertex"))
         .distinct()
@@ -103,6 +129,87 @@ def connected_components(
     raise SketchConfigError(
         f"connected_components did not converge in {max_iter} rounds — "
         "input is not a sparse near-dup cluster graph"
+    )
+
+
+def _large_star(sym: DataFrame) -> DataFrame:
+    """Large-star: every neighbor v > u of each vertex u is re-attached to
+    ``m(u) = min(Γ(u) ∪ {u})``. Input/output symmetric-free edge sets are
+    handled by the caller; input here is the SYMMETRIC view."""
+    mins = sym.groupBy("s").agg(F.least(F.min("d"), F.first("s")).alias("m"))
+    return (
+        sym.join(mins, "s")
+        .where(F.col("d") > F.col("s"))
+        .select(F.col("d").alias("s"), F.col("m").alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+
+
+def _small_star(oriented: DataFrame) -> DataFrame:
+    """Small-star over the larger→smaller orientation ``(s, d), d < s``:
+    each vertex's smaller neighbors (and itself) re-attach to the minimum
+    of that set. Output keeps the larger→smaller orientation."""
+    mins = oriented.groupBy("s").agg(F.min("d").alias("m"))
+    moved = (
+        oriented.join(mins, "s")
+        .where(F.col("d") != F.col("m"))
+        .select(F.col("d").alias("s"), F.col("m").alias("d"))
+    )
+    anchors = mins.select("s", F.col("m").alias("d"))
+    return (
+        moved.union(anchors).where(F.col("s") != F.col("d")).distinct()
+    )
+
+
+def _star_components(
+    sym: DataFrame, max_iter: int, localCheckpoint_every: int
+) -> DataFrame:
+    """Large-star/small-star alternation — O(log n) rounds on any graph
+    shape (chains included). Converged when the oriented edge set stops
+    changing; at the fixed point the graph is a union of stars whose
+    centers are the component minima."""
+    vertices = sym.select(F.col("s").alias("vertex")).distinct().cache()
+    # larger→smaller canonical orientation
+    edges = sym.where(F.col("d") < F.col("s")).distinct().cache()
+    for it in range(max_iter):
+        ls = _large_star(edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d"))))
+        # large-star output is already larger→smaller by construction
+        new_edges = _small_star(ls)
+        # truncate lineage EVERY round: each star round stacks two
+        # groupBy-joins, and a cached-but-unchckpointed chain makes the
+        # logical plan (and even its toString) blow up within ~10 rounds
+        new_edges = new_edges.localCheckpoint(eager=True)
+        n_new = new_edges.count()
+        n_old = edges.count()
+        grew = (
+            new_edges.join(edges, ["s", "d"], "left_anti").limit(1).count()
+            if n_new == n_old
+            else 1
+        )
+        old = edges
+        edges = new_edges
+        if hasattr(old, "unpersist"):
+            old.unpersist()
+        if grew == 0:
+            # fixed point: stars — every non-center points straight at
+            # its component minimum; centers label themselves
+            labels = (
+                vertices.join(
+                    edges.select(
+                        F.col("s").alias("vertex"), F.col("d").alias("component")
+                    ),
+                    "vertex",
+                    "left",
+                )
+                .groupBy("vertex")  # belt-and-braces: one row per vertex
+                .agg(
+                    F.min(F.coalesce("component", F.col("vertex"))).alias("component")
+                )
+            )
+            return labels
+    raise SketchConfigError(
+        f"star connected components did not converge in {max_iter} rounds"
     )
 
 

@@ -479,6 +479,52 @@ class TestConnectedComponents:
         }
         assert got == self._union_find(pairs)
 
+    def test_star_matches_union_find_all_shapes(self, spark):
+        from probabilistic_rs_spark.operators.components import connected_components
+
+        pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12),
+                 (20, 21), (30, 31), (30, 32), (30, 33), (30, 34)]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        assert got == self._union_find(pairs)
+
+    def test_chain_graph_converges_via_star_fallback(self, spark):
+        """VERDICT r2 #9: a 120-vertex chain has diameter 119 — plain
+        min-label propagation cannot close it within its round cap (the
+        old code raised here); auto mode switches to large-star/small-
+        star, which closes any graph in O(log n) rounds."""
+        from probabilistic_rs_spark.errors import SketchConfigError
+        from probabilistic_rs_spark.operators.components import connected_components
+
+        chain = [(i, i + 1) for i in range(120)]
+        df = spark.createDataFrame(chain, "id_a long, id_b long")
+        # propagation alone must still refuse (documented contract)
+        with pytest.raises(SketchConfigError, match="did not converge"):
+            connected_components(df, algorithm="propagation", max_iter=10)
+        got = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df, max_iter=25).collect()  # auto
+        }
+        assert got == {i: 0 for i in range(121)}
+
+    def test_star_random_graph_matches_propagation(self, spark):
+        import random
+
+        from probabilistic_rs_spark.operators.components import connected_components
+
+        rng = random.Random(7)
+        pairs = [(rng.randrange(300), rng.randrange(300)) for _ in range(250)]
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        a = {
+            r["vertex"]: r["component"]
+            for r in connected_components(df, algorithm="star").collect()
+        }
+        assert a == self._union_find(pairs)
+
     def test_canonical_docs_keeps_min_and_singletons(self, spark):
         from probabilistic_rs_spark.operators.components import canonical_docs
 
