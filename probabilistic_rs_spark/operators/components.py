@@ -125,7 +125,20 @@ def _propagation_components(
         if hasattr(old, "unpersist"):
             old.unpersist()
         if changed == 0:
-            return labels.select("vertex", "component")
+            # materialize + truncate so the per-invocation cached round
+            # frame can be released before returning (ADVICE r3 #5 —
+            # long-lived sessions running many clustering passes must not
+            # accrete cached blocks)
+            out = labels.select("vertex", "component").localCheckpoint(eager=True)
+            try:
+                labels.unpersist()
+            except Exception:
+                pass
+            return out
+    try:
+        labels.unpersist()
+    except Exception:
+        pass
     raise SketchConfigError(
         f"connected_components did not converge in {max_iter} rounds — "
         "input is not a sparse near-dup cluster graph"
@@ -172,45 +185,57 @@ def _star_components(
     vertices = sym.select(F.col("s").alias("vertex")).distinct().cache()
     # larger→smaller canonical orientation
     edges = sym.where(F.col("d") < F.col("s")).distinct().cache()
-    for it in range(max_iter):
-        ls = _large_star(edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d"))))
-        # large-star output is already larger→smaller by construction
-        new_edges = _small_star(ls)
-        # truncate lineage EVERY round: each star round stacks two
-        # groupBy-joins, and a cached-but-unchckpointed chain makes the
-        # logical plan (and even its toString) blow up within ~10 rounds
-        new_edges = new_edges.localCheckpoint(eager=True)
-        n_new = new_edges.count()
-        n_old = edges.count()
-        grew = (
-            new_edges.join(edges, ["s", "d"], "left_anti").limit(1).count()
-            if n_new == n_old
-            else 1
-        )
-        old = edges
-        edges = new_edges
-        if hasattr(old, "unpersist"):
-            old.unpersist()
-        if grew == 0:
-            # fixed point: stars — every non-center points straight at
-            # its component minimum; centers label themselves
-            labels = (
-                vertices.join(
-                    edges.select(
-                        F.col("s").alias("vertex"), F.col("d").alias("component")
-                    ),
-                    "vertex",
-                    "left",
-                )
-                .groupBy("vertex")  # belt-and-braces: one row per vertex
-                .agg(
-                    F.min(F.coalesce("component", F.col("vertex"))).alias("component")
-                )
+    try:
+        for it in range(max_iter):
+            ls = _large_star(edges.union(edges.select(F.col("d").alias("s"), F.col("s").alias("d"))))
+            # large-star output is already larger→smaller by construction
+            new_edges = _small_star(ls)
+            # truncate lineage EVERY round: each star round stacks two
+            # groupBy-joins, and a cached-but-unchckpointed chain makes the
+            # logical plan (and even its toString) blow up within ~10 rounds
+            new_edges = new_edges.localCheckpoint(eager=True)
+            n_new = new_edges.count()
+            n_old = edges.count()
+            grew = (
+                new_edges.join(edges, ["s", "d"], "left_anti").limit(1).count()
+                if n_new == n_old
+                else 1
             )
-            return labels
-    raise SketchConfigError(
-        f"star connected components did not converge in {max_iter} rounds"
-    )
+            old = edges
+            edges = new_edges
+            if hasattr(old, "unpersist"):
+                old.unpersist()
+            if grew == 0:
+                # fixed point: stars — every non-center points straight at
+                # its component minimum; centers label themselves
+                labels = (
+                    vertices.join(
+                        edges.select(
+                            F.col("s").alias("vertex"), F.col("d").alias("component")
+                        ),
+                        "vertex",
+                        "left",
+                    )
+                    .groupBy("vertex")  # belt-and-braces: one row per vertex
+                    .agg(
+                        F.min(F.coalesce("component", F.col("vertex"))).alias("component")
+                    )
+                )
+                # materialize + truncate BEFORE the finally releases the
+                # inputs labels was derived from
+                return labels.localCheckpoint(eager=True)
+        raise SketchConfigError(
+            f"star connected components did not converge in {max_iter} rounds"
+        )
+    finally:
+        # release the per-invocation cached/checkpointed blocks — a
+        # long-lived session running many dedup clustering passes must
+        # not accrete them (ADVICE r3 #5)
+        for frame in (vertices, edges):
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
 
 
 def canonical_docs(

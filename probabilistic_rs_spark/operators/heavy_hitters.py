@@ -374,6 +374,7 @@ def salted_apply_in_pandas_agg(
     key_col: str,
     value_col: str,
     n_salts: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """The salted pattern where it IS load-bearing: ``applyInPandas`` has
     no map-side partial aggregation, so a hot key would funnel all its raw
@@ -381,7 +382,16 @@ def salted_apply_in_pandas_agg(
     rows split across ``n_salts`` tasks, each folding its slice into a
     partial (here: sum + count); stage 2 re-aggregates the tiny partial
     rows by key. Returns (key, total double, cnt long). The same shape
-    carries any mergeable custom state (a sketch, a reservoir)."""
+    carries any mergeable custom state (a sketch, a reservoir).
+
+    ``salt_cols``: extra columns mixed into the salt hash. The default
+    salt hashes (key, value), which is retry-stable but DEGENERATE when a
+    hot key's value is constant (the classic count workload where every
+    row carries value=1): all its rows hash to ONE salt group and the
+    skew this operator exists to break returns (ADVICE r3 #3). Pass any
+    high-cardinality stable discriminator the rows carry — an event id, a
+    timestamp, a source offset — to restore the split; such columns are
+    retry-stable because they are row CONTENT, not generated ids."""
     out1 = StructType(
         [
             StructField("key", StringType(), False),
@@ -403,16 +413,15 @@ def salted_apply_in_pandas_agg(
     # is nondeterministic across task/stage retries — a recomputed upstream
     # stage could re-salt rows into different groups after partial shuffle
     # consumption and double-count/drop them (SPARK-23207 class). Hashing
-    # (key, value) is retry-stable; duplicate (key, value) rows sharing a
-    # salt only skews balance for pathological all-identical-value keys,
-    # never correctness.
+    # (key, value [, salt_cols…]) is retry-stable; duplicate hash-input
+    # rows sharing a salt only skews balance (fully so when a hot key's
+    # value is constant — supply salt_cols then), never correctness.
+    salt_inputs = [F.col(key_col).cast("string"), F.col(value_col)]
+    salt_inputs += [F.col(c) for c in (salt_cols or [])]
     salted = df.select(
         F.col(key_col).cast("string").alias("key"),
         F.col(value_col).cast("double").alias("val"),
-        F.pmod(
-            F.xxhash64(F.col(key_col).cast("string"), F.col(value_col)),
-            F.lit(n_salts),
-        ).alias("__salt"),
+        F.pmod(F.xxhash64(*salt_inputs), F.lit(n_salts)).alias("__salt"),
     )
     stage1 = salted.groupBy("key", "__salt").applyInPandas(fold, out1)
     return stage1.groupBy("key").agg(

@@ -10,8 +10,6 @@ full probe side.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 
@@ -19,6 +17,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
+from probabilistic_rs_spark.common import state_key
 from probabilistic_rs_spark.operators.sketch_agg import (
     SketchSpec,
     build_global_state,
@@ -77,7 +76,7 @@ def bloom_probe(
     positives bounded by the filter's configured FPR."""
     sc = probe_df.sparkSession.sparkContext
     bc = sc.broadcast(state)
-    key = hashlib.sha1(state[:64] + state[-64:] + len(state).to_bytes(8, "little")).hexdigest()
+    key = state_key(state)
 
     @pandas_udf(BooleanType())
     def probe(items: pd.Series) -> pd.Series:
@@ -137,17 +136,26 @@ def build_native_bloom_state(
 # driver-side cache: the one-row words relation per filter state, so
 # repeated probes against the same filter reuse one cached (and hence
 # one-time-serialized) local relation instead of re-pickling ~MBs of
-# words through createDataFrame per probe. Keyed by content digest;
-# bounded like the executor-side _FILTER_CACHE.
-_WORDS_DF_CACHE: dict[str, DataFrame] = {}
+# words through createDataFrame per probe. Keyed by
+# (applicationId, full-blob digest): a cached DataFrame is bound to the
+# SparkSession that built it, so after a session restart the same state
+# must build a fresh relation (ADVICE r3 #2 — stale entries from dead
+# sessions are evicted on the way through). Bounded like the
+# executor-side _FILTER_CACHE.
+_WORDS_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _native_words_df(spark, state: bytes, words) -> DataFrame:
-    key = hashlib.sha1(
-        state[:64] + state[-64:] + len(state).to_bytes(8, "little")
-    ).hexdigest()
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, state_key(state))
     df = _WORDS_DF_CACHE.get(key)
     if df is None:
+        # drop relations bound to other (stopped) sessions first
+        for old_key in [k for k in _WORDS_DF_CACHE if k[0] != app_id]:
+            try:
+                _WORDS_DF_CACHE.pop(old_key).unpersist()
+            except Exception:
+                pass  # the owning session is gone; nothing to release
         # one-row relation (NOT F.lit(list): that builds a CreateArray
         # with one analyzer child PER ELEMENT — catastrophic at 10^5+
         # words; and NOT from_json(lit): JsonToStructs is not constant-
@@ -156,7 +164,10 @@ def _native_words_df(spark, state: bytes, words) -> DataFrame:
         df = df.cache()
         if len(_WORDS_DF_CACHE) > 8:
             for old in _WORDS_DF_CACHE.values():
-                old.unpersist()
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
             _WORDS_DF_CACHE.clear()
         _WORDS_DF_CACHE[key] = df
     return df

@@ -27,8 +27,6 @@ Plan shapes:
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 
@@ -36,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
+from probabilistic_rs_spark.common import state_key
 from probabilistic_rs_spark.operators.sketch_agg import (
     SketchSpec,
     build_global_state,
@@ -76,12 +75,6 @@ def _get_qf(key: str, blob: bytes) -> QuotientFilter:
     return sk
 
 
-def _state_key(state: bytes) -> str:
-    return hashlib.sha1(
-        state[:64] + state[-64:] + len(state).to_bytes(8, "little")
-    ).hexdigest()
-
-
 def quotient_probe(
     probe_df: DataFrame,
     item_col: str,
@@ -94,7 +87,7 @@ def quotient_probe(
     exchanges; zero false negatives, FPR ≤ n·2^-p."""
     sc = probe_df.sparkSession.sparkContext
     bc = sc.broadcast(state)
-    key = _state_key(state)
+    key = state_key(state)
 
     @pandas_udf(BooleanType())
     def probe(hashes: pd.Series) -> pd.Series:

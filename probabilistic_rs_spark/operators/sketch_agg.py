@@ -376,19 +376,44 @@ def sketch_aggregate(
     return sketch_merge(sketch_partials(df, group_cols, specs), group_cols, specs, tree_fanin)
 
 
+def _global_strategy(
+    df: DataFrame, spec: SketchSpec, tree_fanin, auto_fanin: int = 64
+) -> int | None:
+    """Physical-strategy pick for :func:`build_global_state`: returns the
+    effective fanin (``None`` = driver fold, int = bucketed executor-side
+    pre-merge).
+
+    Partition count alone is the wrong proxy for sketch kinds whose
+    PARTIAL states are O(rows) rather than bounded (quotient: every
+    partition ships its full fingerprint run, so a driver fold over P
+    partitions collects the whole dataset's fingerprints P-partials-deep
+    through py4j even though the merged state is the same bytes). For
+    those kinds the bucketed path is preferred at any non-trivial
+    partition count — the final merge then happens executor-side and the
+    driver only ever pulls the single merged blob (VERDICT r3 #4)."""
+    if tree_fanin != "auto":
+        return tree_fanin  # explicit int or None: caller decision is final
+    unbounded = getattr(spec.make(), "PARTIALS_UNBOUNDED", False)
+    nparts = df.rdd.getNumPartitions()
+    if unbounded:
+        return auto_fanin if nparts > 8 else None
+    return auto_fanin if nparts > 2 * auto_fanin else None
+
+
 def build_global_state(df: DataFrame, spec: SketchSpec, tree_fanin="auto") -> bytes:
     """GLOBAL (ungrouped) build of one sketch, returning the merged state
     bytes on the driver (where a global state always ends up — it is the
     thing callers broadcast).
 
-    Two physical strategies, picked by partition count exactly like
-    ``treeAggregate``: with a modest partition count the per-partition
-    partials are collected and folded driver-side (skipping a shuffle
-    stage whose lone reducer's only consumer is the driver); with many
-    partitions a bucketed executor-side pre-merge bounds what the driver
-    sees to ``fanin`` blobs. Fold order is partition-id-sorted →
-    bit-identical states under any scheduling."""
-    fanin = resolve_tree_fanin(df, tree_fanin)
+    Two physical strategies, picked by :func:`_global_strategy` exactly
+    like ``treeAggregate``: with a modest partition count (and bounded
+    partial states) the per-partition partials are collected and folded
+    driver-side (skipping a shuffle stage whose lone reducer's only
+    consumer is the driver); with many partitions — or O(rows) partials
+    (quotient) — a bucketed executor-side pre-merge bounds what the
+    driver sees. Fold order is partition-id-sorted → bit-identical
+    states under any scheduling."""
+    fanin = _global_strategy(df, spec, tree_fanin)
     if fanin is None:
         rows = sketch_partials(df, [], [spec]).select("__pid", spec.state_col).collect()
         if not rows:  # empty input -> empty sketch, not a crash

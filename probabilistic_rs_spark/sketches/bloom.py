@@ -57,6 +57,21 @@ class BloomConfig:
             raise SketchConfigError("False positive rate must be between 0 and 1")
         if self.chunk_size_bytes <= 0:
             raise SketchConfigError("Chunk size must be greater than 0")
+        # positions travel as uint32 (build kernels + the sparse-partial
+        # wire format both Bloom families share), so m must fit 32 bits;
+        # beyond that the build would silently wrap positions while the
+        # native family's JVM probe evaluates untruncated 64-bit position
+        # expressions → FALSE NEGATIVES. The cap bites at capacity
+        # ≈ 448M @ 1% FPR — at that scale partition the keyspace into
+        # multiple filters (each probe side picks its filter by key hash).
+        m = optimal_bit_vector_size(self.capacity, self.false_positive_rate)
+        if m >= (1 << 32):
+            raise SketchConfigError(
+                f"bit vector size m={m} exceeds the 2^32-bit cap of the "
+                f"uint32 position/sparse-index wire format (capacity="
+                f"{self.capacity}, fpr={self.false_positive_rate}); "
+                "split the keyspace across multiple filters"
+            )
 
 
 class BloomSketch:

@@ -122,9 +122,19 @@ class CuckooFilter:
         (one stable argsort + rank-in-group, slots assigned in arrival
         order), phase B places home-bucket overflow into alternate
         buckets the same way, and only the residual few percent walk the
-        per-item displacement chain. Placement order is a pure function
-        of the input order → bit-identical tables under any partitioning,
-        exactly like the sequential path."""
+        per-item displacement chain. The bulk layout is DETERMINISTIC for
+        a given input order (→ bit-identical tables under any
+        partitioning, since shard builds always take this empty-table
+        path from np.unique-sorted hashes), but it is NOT the layout the
+        pre-bulk sequential path produced: phase B appends all alt-bucket
+        spills after all home placements, where the old loop interleaved
+        spills with later home arrivals. Membership semantics are
+        unaffected and the partitioning-invariance contract holds, but a
+        state persisted by the sequential-era code can compare bit-unequal
+        to one rebuilt from the same keys today (ADVICE r3 #4) — nothing
+        in this engine bit-compares states ACROSS code versions (the
+        merge-determinism tests compare within one build), and no
+        external consumer should either."""
         hashes = np.asarray(hashes)
         if len(hashes) == 0:
             return

@@ -135,6 +135,20 @@ def test_config_validation():
     assert c.chunk_size_bytes == 4096
 
 
+def test_config_rejects_m_beyond_uint32():
+    # ADVICE r3 (medium): positions travel as uint32 in the build kernels
+    # and the sparse-partial wire format — a filter whose m >= 2^32 would
+    # silently wrap build positions while the native family's JVM probe
+    # evaluates untruncated 64-bit expressions → false negatives. Must
+    # fail at config validation, before any job launches.
+    with pytest.raises(SketchConfigError, match="2\\^32"):
+        BloomConfig(capacity=460_000_000, false_positive_rate=0.01).validate()
+    with pytest.raises(SketchConfigError, match="2\\^32"):
+        BloomSketch(BloomConfig(capacity=1_000_000_000))
+    # just under the cap still validates (m < 2^32 at ~448M @ 1%)
+    BloomConfig(capacity=440_000_000, false_positive_rate=0.01).validate()
+
+
 def test_serialization_roundtrip_and_corruption():
     sk = BloomSketch(BloomConfig(1000, 0.01))
     sk.update_batch(seq_items(500))

@@ -98,7 +98,7 @@ class TestCore:
             QuotientFilter.from_bytes(b"PRS1" + blob[4:][:20])
 
     def test_wide_fingerprint_uses_uint64(self):
-        sk = QuotientFilter(200_000_000, 1e-6)
+        sk = QuotientFilter(200_000_000, 1e-6, max_state_bytes=None)
         assert sk.p > 32 and sk.fps.dtype == np.uint64
 
 
@@ -186,3 +186,70 @@ class TestSpark:
         }
         assert not any(res[f"e{i}"] for i in range(0, 10_000, 2))
         assert all(res[f"e{i}"] for i in range(1, 10_000, 2))
+
+
+class TestGuards:
+    def test_capacity_state_budget_guard(self):
+        # VERDICT r3 #9: O(n)-state filter — a capacity implying a
+        # multi-GB broadcast must fail at construction, before any job
+        with pytest.raises(SketchConfigError, match="max_state_bytes"):
+            QuotientFilter(100_000_000)  # 400 MB of uint32 fps > 256 MB default
+        # explicit budget raise is honored; None disables
+        QuotientFilter(100_000_000, max_state_bytes=1 << 30)
+        QuotientFilter(100_000_000, max_state_bytes=None)
+        # under-budget default path untouched
+        QuotientFilter(1_000_000)
+
+    def test_budget_guard_message_names_sizes(self):
+        try:
+            QuotientFilter(80_000_000, max_state_bytes=1_000_000)
+        except SketchConfigError as e:
+            msg = str(e)
+            # 80M capacity @ 1% → p = 34 bits → 8-byte fingerprints
+            assert "640000000 bytes" in msg and "max_state_bytes=1000000" in msg
+            assert "partition the keyspace" in msg
+        else:  # pragma: no cover
+            pytest.fail("expected SketchConfigError")
+
+    def test_from_bytes_trusts_persisted_capacity(self):
+        # persisted-config-wins: deserialize is not budget-checked
+        sk = QuotientFilter(100_000, 0.01)
+        sk.update_hashes(_hashes(1000))
+        blob = sk.to_bytes()
+        back = QuotientFilter.from_bytes(blob)
+        assert back.n_items == 1000
+
+
+class TestGlobalStrategy:
+    """VERDICT r3 #4: build_global_state must not driver-fold O(rows)
+    quotient partials just because the partition count is modest."""
+
+    def test_quotient_prefers_bucketed_premerge(self, spark):
+        from probabilistic_rs_spark.operators.sketch_agg import (
+            SketchSpec,
+            _global_strategy,
+        )
+
+        df128 = spark.range(0, 10_000).repartition(128)
+        qspec = SketchSpec("qf", "quotient", "id", {"capacity": 20_000})
+        bspec = SketchSpec("bf", "bloom", "id", {"capacity": 20_000})
+        # quotient partials are O(rows): bucketed even at 128 partitions
+        assert _global_strategy(df128, qspec, "auto") == 64
+        # bounded Bloom partials: 128 partitions still driver-folds
+        assert _global_strategy(df128, bspec, "auto") is None
+        # trivially small quotient inputs may still driver-fold
+        df4 = spark.range(0, 1_000).repartition(4)
+        assert _global_strategy(df4, qspec, "auto") is None
+        # explicit caller decisions are final for every kind
+        assert _global_strategy(df128, qspec, None) is None
+        assert _global_strategy(df128, qspec, 16) == 16
+
+    def test_bucketed_and_driver_paths_bit_identical(self, spark):
+        from probabilistic_rs_spark.operators.quotient import build_quotient_state
+
+        df = spark.range(0, 20_000).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k")
+        ).repartition(128)
+        via_bucketed = build_quotient_state(df, "k", capacity=40_000)  # auto → bucketed
+        via_driver = build_quotient_state(df, "k", capacity=40_000, tree_fanin=None)
+        assert via_bucketed == via_driver
