@@ -246,6 +246,52 @@ QUERIES = {
 }
 
 
+# ---------------------------------------------------------------------------
+# per-query input re-warm (VERDICT r3 #1): a preceding query's scan can
+# evict THIS query's parquet bytes from the OS page cache (the 200k-row
+# full-text dedup scans demonstrably evicted lineitem in BENCH_r03,
+# 1.79 s -> 4.25 s); touching the query's own input columns immediately
+# before its timed reps makes min-of-reps measure the engine, not the
+# page cache. Untimed by construction.
+# ---------------------------------------------------------------------------
+
+def _touch_pages(spark) -> None:
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(PAGES_PATH).select(
+        F.sum(F.length("text")), F.count("url"), F.max("warc_ts"), F.count("lang")
+    ).head()
+
+
+def _touch_lineitem(spark) -> None:
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.count("l_orderkey"), F.sum("l_extendedprice"), F.count("l_partkey"),
+        F.count("l_returnflag")
+    ).head()
+
+
+def _touch_events(spark) -> None:
+    from pyspark.sql import functions as F
+
+    spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        F.count("user_id"), F.count("event_type")
+    ).head()
+
+
+REWARM = {
+    "pages_hll_lang_day": _touch_pages,
+    "pages_heavy_hosts": _touch_pages,
+    "pages_quantiles": _touch_pages,
+    "pages_bloom_membership": _touch_pages,
+    "pages_simhash_fingerprints": _touch_pages,
+    "pages_minhash_signatures": _touch_pages,
+    "lineitem_flagship_multisketch": _touch_lineitem,
+    "events_distinct_users": _touch_events,
+}
+
+
 def warmup(spark) -> None:
     """Untimed: spin up Python workers, warm the OS page cache for every
     column the timed queries read, and warm JVM JIT so the first timed
@@ -307,6 +353,9 @@ def main() -> None:
     rates: dict[str, float] = {}
     for name, fn in QUERIES.items():
         best, n_rows = None, 0
+        rewarm = REWARM.get(name)
+        if rewarm is not None:
+            rewarm(spark)  # untimed: restore this query's page-cache state
         for _ in range(reps):  # min-of-reps damps ambient host noise
             t0 = time.perf_counter()
             n_rows, _ = fn(spark)

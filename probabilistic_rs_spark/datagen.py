@@ -177,3 +177,62 @@ def pages_df(spark, n_rows: int, seed: int = 42, n_hosts: int = 10_000, partitio
 
     rng = spark.range(0, n_rows, numPartitions=partitions) if partitions else spark.range(n_rows)
     return rng.mapInArrow(gen, schema)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic raster fixtures (multimodal codec path)
+# ---------------------------------------------------------------------------
+
+def bmp_solid(width: int, height: int, rgb: tuple[int, int, int]) -> bytes:
+    """A well-formed 24-bit uncompressed bottom-up BMP of one solid color
+    — the smallest real payload the BMP decoder must fully parse (pixel
+    offset, BITMAPINFOHEADER, 4-byte row padding, BGR order)."""
+    stride = ((width * 3 + 3) // 4) * 4
+    pixel_bytes = stride * height
+    r, g, b = rgb
+    row = (bytes((b, g, r)) * width) + b"\x00" * (stride - width * 3)
+    header = (
+        b"BM"
+        + (54 + pixel_bytes).to_bytes(4, "little")   # file size
+        + b"\x00\x00\x00\x00"                         # reserved
+        + (54).to_bytes(4, "little")                  # pixel data offset
+        + (40).to_bytes(4, "little")                  # BITMAPINFOHEADER size
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)   # >0: bottom-up
+        + (1).to_bytes(2, "little")                   # planes
+        + (24).to_bytes(2, "little")                  # bpp
+        + (0).to_bytes(4, "little")                   # BI_RGB
+        + pixel_bytes.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2            # 72 DPI
+        + (0).to_bytes(4, "little") * 2               # palette
+    )
+    return header + row * height
+
+
+def bmp_for_id(doc_id: int) -> bytes:
+    """Deterministic per-document BMP: geometry and color are arithmetic
+    functions of the id, so an SQL oracle can state the DECODED values a
+    real decode must recover (width = 4 + id % 13, height = 3 + id % 7,
+    rgb = (id % 256, 7·id % 256, 13·id % 256))."""
+    did = int(doc_id)
+    return bmp_solid(
+        4 + did % 13,
+        3 + did % 7,
+        (did % 256, (7 * did) % 256, (13 * did) % 256),
+    )
+
+
+def with_bmp_payload(df, id_col: str, out_col: str = "payload"):
+    """Adds a deterministic BMP binary column derived from ``id_col`` —
+    vectorized ``pandas_udf`` fixture generation (test input synthesis,
+    not an engine hot path)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    # lambda form: the local `pd` alias isn't resolvable from a string
+    # type hint inside a nested scope, so skip hints and pass returnType
+    gen = pandas_udf(
+        lambda ids: ids.map(lambda i: bmp_for_id(int(i))), BinaryType()
+    )
+    return df.withColumn(out_col, gen(F.col(id_col).cast("long")))
