@@ -176,7 +176,8 @@ def _native_words_df(spark, state: bytes, words) -> DataFrame:
 def _native_member_expr(item_col: str, warr, m: int, k: int):
     """The JVM membership predicate: AND over k bit tests
     ``shiftrightunsigned(words[pos_i >> 6], pos_i & 63) & 1 = 1`` with
-    ``pos_i = pmod(xxhash64(lit(i), cast(item as string)), m)`` — the
+    ``pos_i = pmod(h1 + i·h2, m)`` (KM double hashing over two xxhash64
+    evaluations, see ``native_bloom_position_exprs``) — the
     same expressions the build used, so zero false negatives hold by
     construction."""
     from functools import reduce

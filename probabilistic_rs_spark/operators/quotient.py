@@ -100,6 +100,106 @@ def quotient_probe(
     )
 
 
+# driver-side cache of the bucketized one-row relation per (session,
+# state digest, bucket width) — same idiom as membership._WORDS_DF_CACHE
+_BUCKETS_DF_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _quotient_buckets_df(spark, state: bytes, sk: QuotientFilter, bucket_bits: int):
+    """One-row ``array<array<bigint>>`` relation: the filter's sorted
+    fingerprint run split into 2^b buckets by the top b fingerprint bits.
+    The run is already sorted, so the split is one bincount + cumsum."""
+    app_id = spark.sparkContext.applicationId
+    b = min(bucket_bits, sk.p)
+    key = (app_id, state_key(state), b)
+    df = _BUCKETS_DF_CACHE.get(key)
+    if df is None:
+        for old_key in [k for k in _BUCKETS_DF_CACHE if k[0] != app_id]:
+            try:
+                _BUCKETS_DF_CACHE.pop(old_key).unpersist()
+            except Exception:
+                pass
+        fps = sk.fps
+        buckets = (fps.astype(np.uint64) >> np.uint64(sk.p - b)).astype(np.int64)
+        counts = np.bincount(buckets, minlength=1 << b)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        # int64 BIT PATTERNS: for p = 64 the top fingerprints read as
+        # negative longs on both sides — equality still matches because
+        # the JVM probe expression produces the identical bit pattern
+        vals = fps.astype(np.int64, copy=False) if fps.dtype == np.uint64 else fps.astype(np.int64)
+        nested = [vals[s:e].tolist() for s, e in zip(starts.tolist(), ends.tolist())]
+        df = spark.createDataFrame([(nested,)], "__qf_buckets array<array<bigint>>").cache()
+        if len(_BUCKETS_DF_CACHE) > 8:
+            for old in _BUCKETS_DF_CACHE.values():
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            _BUCKETS_DF_CACHE.clear()
+        _BUCKETS_DF_CACHE[key] = df
+    return df, b
+
+
+def _quotient_member_expr(item_col: str, barr, p: int, b: int):
+    """JVM membership predicate: bucket lookup + ``array_contains`` scan
+    of the ~n/2^b-element bucket — fp and bucket come from the same
+    xxhash64 the build used, so zero false negatives hold."""
+    fp = F.call_function(
+        "shiftrightunsigned",
+        F.xxhash64(F.col(item_col).cast("string")),
+        F.lit(64 - p),
+    )
+    if p > b:
+        bucket = F.call_function("shiftrightunsigned", fp, F.lit(p - b)).cast("int")
+    else:
+        bucket = fp.cast("int")
+    return F.coalesce(
+        F.array_contains(F.element_at(barr, bucket + F.lit(1)), fp), F.lit(False)
+    )
+
+
+def native_quotient_probe(
+    probe_df: DataFrame,
+    item_col: str,
+    state: bytes,
+    out_col: str = "is_member",
+    bucket_bits: int = 14,
+) -> DataFrame:
+    """``quotient_probe`` with ZERO Python in the per-row path (VERDICT
+    r3 #6 spike, shipped): the sorted run rides a broadcast one-row
+    nested-array relation; each probe row computes its fingerprint with
+    JVM ``xxhash64``, indexes its top-``bucket_bits`` bucket with
+    ``element_at`` and scans the ~n/2^b remaining candidates with
+    ``array_contains`` — whole-stage codegen end to end, the same shape
+    as ``native_bloom_probe``. Identical verdicts to the ``searchsorted``
+    kernel (both test p-bit fingerprint equality of the same hash).
+
+    Trade-off vs the pandas kernel: the bucket scan is O(n/2^b) per row
+    against searchsorted's O(log n), but it runs JVM-side with no Arrow
+    boundary; measured faster at probe scale for filters up to ~10M
+    fingerprints with the default 2^14 buckets (see BASELINE.md round-4
+    notes). For larger runs raise ``bucket_bits``."""
+    sk = QuotientFilter.from_bytes(state)
+    bdf, b = _quotient_buckets_df(probe_df.sparkSession, state, sk, bucket_bits)
+    joined = probe_df.crossJoin(F.broadcast(bdf))
+    member = _quotient_member_expr(item_col, F.col("__qf_buckets"), sk.p, b)
+    return joined.withColumn(out_col, member).drop("__qf_buckets")
+
+
+def native_quotient_semi_filter(
+    probe_df: DataFrame, item_col: str, state: bytes, bucket_bits: int = 14
+) -> DataFrame:
+    """Semi-join form: the membership predicate sits in the join
+    condition (single evaluation), like ``native_bloom_semi_filter``."""
+    sk = QuotientFilter.from_bytes(state)
+    bdf, b = _quotient_buckets_df(probe_df.sparkSession, state, sk, bucket_bits)
+    member = _quotient_member_expr(item_col, F.col("__qf_buckets"), sk.p, b)
+    return (
+        probe_df.crossJoin(F.broadcast(bdf)).where(member).drop("__qf_buckets")
+    )
+
+
 def quotient_delete(
     state: bytes,
     delete_df: DataFrame,

@@ -55,7 +55,7 @@ from probabilistic_rs_spark.sketches.tdigest import TDigest
 # value representation each sketch kind consumes
 _VALUE_KIND = {
     "bloom": "bytes",   # raw bytes (reference-parity murmur3+fnv hashing in kernel)
-    "nbloom": "positions",  # JVM-side xxhash64 bit positions → kernel only scatters
+    "nbloom": "hash2",  # JVM-side (h1, h2) xxhash64 pair → kernel derives KM positions + scatters
     "hll": "hash",      # JVM-side xxhash64 → kernel only does register max
     "cms": "hash",      # JVM-side xxhash64 → kernel only does counter scatter
     "quotient": "hash",  # JVM-side xxhash64 → kernel takes top p bits, sorts
@@ -131,19 +131,47 @@ class SketchSpec:
         return f"{self.name}_state"
 
 
-def native_bloom_position_exprs(col: Column, m: int, k: int) -> list[Column]:
-    """The native-hash Bloom position family — ``k`` independent JVM
-    hashes of the canonical string form:
+def native_bloom_base_hash_exprs(col: Column) -> tuple[Column, Column]:
+    """The TWO base hashes of the native family's Kirsch–Mitzenmacher
+    double-hashing scheme (the reference's own idiom, ``src/hash.rs:
+    97-101`` — two hashes derive all k positions):
 
-        pos_i = pmod(xxhash64(lit(i), cast(item as string)), m)
+        h1 = xxhash64(item)          >> 2   (62 bits)
+        h2 = xxhash64(lit(1), item)  >> 8   (56 bits)
 
-    (xxhash64 over multiple columns chains: the hash of ``lit(i)`` seeds
-    the hash of the item, so each ``i`` is an independent 64-bit hash.)
-    Build kernel and probe expressions both call THIS function, so zero
-    false negatives hold by construction.
-    """
+    The unsigned right shifts bound ``h1 + i·h2`` below 2^63 for k ≤ 32,
+    so the position arithmetic can never overflow int64 — load-bearing
+    under ANSI mode (Spark 4 default), where a long overflow is a runtime
+    error, and it keeps JVM signed-int64 arithmetic bit-equal to the
+    kernel's uint64 numpy arithmetic. The shifts discard nothing that
+    matters: positions are taken mod m < 2^32."""
     s = col.cast("string")
-    return [F.pmod(F.xxhash64(F.lit(int(i)), s), F.lit(int(m))) for i in range(k)]
+    h1 = F.shiftrightunsigned(F.xxhash64(s), 2)
+    h2 = F.shiftrightunsigned(F.xxhash64(F.lit(1), s), 8)
+    return h1, h2
+
+
+def native_bloom_position_exprs(col: Column, m: int, k: int) -> list[Column]:
+    """The native-hash Bloom position family — Kirsch–Mitzenmacher over
+    two JVM xxhash64 evaluations:
+
+        pos_i = pmod(h1 + i·h2, m)      i = 0..k-1
+
+    (KM preserves the asymptotic FPR of k independent hashes — Kirsch &
+    Mitzenmacher, ESA'06 — and is what the reference-parity family uses
+    too, ``src/hash.rs:97-101``.) Build kernel and probe expressions both
+    derive positions from the SAME (h1, h2) definitions, so zero false
+    negatives hold by construction; vs k independent xxhash64 calls this
+    runs 2 string hashes instead of k on both build and probe."""
+    if k > 32:
+        raise SketchConfigError(
+            f"native Bloom double-hashing supports k <= 32 (got {k}); "
+            "such a k implies an extreme FPR target — use the parity family"
+        )
+    h1, h2 = native_bloom_base_hash_exprs(col)
+    return [
+        F.pmod(h1 + F.lit(int(i)) * h2, F.lit(int(m))) for i in range(k)
+    ]
 
 
 def _value_expr(spec: SketchSpec) -> Column:
@@ -154,15 +182,14 @@ def _value_expr(spec: SketchSpec) -> Column:
         return F.xxhash64(col.cast("string")).alias(f"__v_{spec.name}")
     if vk == "float":
         return col.cast("double").alias(f"__v_{spec.name}")
-    if vk == "positions":
-        sk = spec.make()
-        pos = native_bloom_position_exprs(col, sk.m, sk.k)
-        if sk.m < (1 << 31):
-            # positions fit int32: halve the Arrow transfer volume (the
-            # cast is exact — values are in [0, m) — and the probe side,
-            # which never ships positions, keeps the long expressions)
-            pos = [p.cast("int") for p in pos]
-        return F.array(*pos).alias(f"__v_{spec.name}")
+    if vk == "hash2":
+        # ship ONLY the two KM base hashes (16 B/row regardless of k);
+        # the kernel derives all k positions with one vectorized
+        # broadcast-multiply — vs shipping a k-element position array
+        # this halves Arrow volume at k=7 and cuts JVM hashing from k
+        # string hashes to 2
+        h1, h2 = native_bloom_base_hash_exprs(col)
+        return F.array(h1, h2).alias(f"__v_{spec.name}")
     # bytes: canonical encoding = UTF-8 of the string form
     return F.encode(col.cast("string"), "UTF-8").alias(f"__v_{spec.name}")
 
@@ -173,8 +200,8 @@ def _update_sketch(spec: SketchSpec, sketch, prepared, rows: np.ndarray) -> None
         sketch.update_hashes(prepared[rows])
     elif vk == "float":
         sketch.update_values(prepared[rows])
-    elif vk == "positions":
-        sketch.update_positions(prepared[rows])
+    elif vk == "hash2":
+        sketch.update_base_hashes(prepared[rows])
     else:
         buf, lens = prepared
         sketch.update_padded(buf[rows], lens[rows])
@@ -192,14 +219,14 @@ def _prepare_value(spec: SketchSpec, batch, colname: str):
         return a.astype(np.int64, copy=False).view(np.uint64)
     if vk == "float":
         return arr.to_numpy(zero_copy_only=False)  # nulls → NaN, dropped in kernel
-    if vk == "positions":
-        # fixed-k list<int64> → (n, k) matrix; flatten() honors slicing
+    if vk == "hash2":
+        # fixed-2 list<int64> → (n, 2) matrix; flatten() honors slicing
         # offsets, so this is safe on sliced batches
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         flat = arr.flatten().to_numpy(zero_copy_only=False)
         n = len(arr)
-        return flat.reshape(n, -1) if n else flat.reshape(0, 1)
+        return flat.reshape(n, -1) if n else flat.reshape(0, 2)
     # per-spec scratch slot: the padded matrix is reused across batches
     # and tasks on this worker; the slot name keeps two byte-kind specs
     # in one batch from aliasing

@@ -5,9 +5,15 @@ as the reference-parity :class:`~probabilistic_rs_spark.sketches.bloom.
 BloomSketch` (``/root/reference/src/bloom/filter.rs``), but the bit
 positions come from Spark's built-in ``xxhash64`` expression family
 instead of murmur3-32(seed 0)+FNV — i.e. they are computable INSIDE
-whole-stage codegen on both the build and probe side:
+whole-stage codegen on both the build and probe side, via
+Kirsch–Mitzenmacher double hashing (the reference's own idiom,
+``src/hash.rs:97-101``):
 
-    pos_i = pmod(xxhash64(lit(i), cast(item as string)), m)   i = 0..k-1
+    h1 = xxhash64(item) >> 2,  h2 = xxhash64(lit(1), item) >> 8
+    pos_i = pmod(h1 + i·h2, m)                         i = 0..k-1
+
+(the shifts bound the arithmetic below 2^63 — no ANSI overflow, and
+JVM signed math stays bit-equal to the kernel's uint64 numpy math)
 
 Why a second hash family exists at all (VERDICT r2 "What's wrong #2"):
 the reference-parity probe must run murmur/fnv in a Python kernel, which
@@ -54,6 +60,27 @@ class NativeBloomSketch(BloomSketch):
     """
 
     _TYPE = TYPE_NBLOOM
+
+    def positions_from_base_hashes(self, h2cols: np.ndarray) -> np.ndarray:
+        """Kirsch–Mitzenmacher position derivation from an (n, 2) matrix
+        of JVM base hashes: ``pos_i = (h1 + i·h2) mod m``. Must stay
+        bit-equal to the JVM side's signed-int64 arithmetic — guaranteed
+        because the base hashes arrive pre-shifted below 2^62/2^56
+        (``native_bloom_base_hash_exprs``), so the uint64 math never
+        wraps either."""
+        h = h2cols.astype(np.int64, copy=False).view(np.uint64)
+        h1 = h[:, 0:1]
+        h2 = h[:, 1:2]
+        i = np.arange(self.k, dtype=np.uint64)[None, :]
+        return ((h1 + i * h2) % np.uint64(self.m)).astype(np.uint32)
+
+    def update_base_hashes(self, h2cols: np.ndarray) -> None:
+        """Absorb an (n, 2) matrix of (h1, h2) JVM base hashes — derive
+        all k KM positions vectorized, then one scatter."""
+        if h2cols.size == 0:
+            return
+        n = h2cols.shape[0]
+        self._apply_indices(self.positions_from_base_hashes(h2cols), n)
 
     def update_positions(self, pos: np.ndarray) -> None:
         """Absorb an (n, k) — or flat (n·k,) — matrix of JVM-computed bit
@@ -119,6 +146,12 @@ class NativeBloomPartialBuilder(BloomPartialBuilder):
 
     _TYPE = TYPE_NBLOOM
     _SKETCH = NativeBloomSketch
+
+    def update_base_hashes(self, h2cols: np.ndarray) -> None:
+        if h2cols.size == 0:
+            return
+        pos = NativeBloomSketch.positions_from_base_hashes(self, h2cols)
+        self._absorb(pos.ravel(), h2cols.shape[0])
 
     def update_positions(self, pos: np.ndarray) -> None:
         if pos.size == 0:

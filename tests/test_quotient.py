@@ -253,3 +253,66 @@ class TestGlobalStrategy:
         via_bucketed = build_quotient_state(df, "k", capacity=40_000)  # auto → bucketed
         via_driver = build_quotient_state(df, "k", capacity=40_000, tree_fanin=None)
         assert via_bucketed == via_driver
+
+
+class TestNativeProbe:
+    """JVM-side bucketized probe (VERDICT r3 #6): identical verdicts to
+    the searchsorted kernel, zero Python in the per-row path."""
+
+    def _build(self, spark, n=20_000):
+        from probabilistic_rs_spark.operators.quotient import build_quotient_state
+
+        base = spark.range(0, n).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k")
+        )
+        return base, build_quotient_state(base, "k", capacity=2 * n)
+
+    def test_agrees_with_python_kernel_and_zero_fn(self, spark):
+        from probabilistic_rs_spark.operators.quotient import (
+            native_quotient_probe,
+            quotient_probe,
+        )
+
+        base, state = self._build(spark)
+        probes = base.union(
+            spark.range(5_000_000, 5_050_000).select(
+                F.concat(F.lit("k"), F.col("id")).alias("k")
+            )
+        )
+        got_native = {
+            r["k"]: r["is_member"]
+            for r in native_quotient_probe(probes, "k", state).collect()
+        }
+        got_py = {
+            r["k"]: r["is_member"]
+            for r in quotient_probe(probes, "k", state).collect()
+        }
+        assert got_native == got_py
+        # zero false negatives on every inserted key
+        assert all(got_native[f"k{i}"] for i in range(20_000))
+
+    def test_bucket_width_invariance_and_semi_filter(self, spark):
+        from probabilistic_rs_spark.operators.quotient import (
+            native_quotient_probe,
+            native_quotient_semi_filter,
+        )
+
+        base, state = self._build(spark, n=5_000)
+        for bits in (4, 10, 30):  # incl. b > p → clamped
+            got = {
+                r["k"]: r["is_member"]
+                for r in native_quotient_probe(
+                    base, "k", state, bucket_bits=bits
+                ).collect()
+            }
+            assert all(got.values()) and len(got) == 5_000
+        kept = native_quotient_semi_filter(base, "k", state).count()
+        assert kept == 5_000
+
+    def test_probe_plan_is_jvm_only(self, spark):
+        from probabilistic_rs_spark.operators.quotient import native_quotient_probe
+
+        base, state = self._build(spark, n=2_000)
+        plan = native_quotient_probe(base, "k", state)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas", "MapInPandas"):
+            assert marker not in plan, f"python boundary in probe plan: {marker}"
