@@ -349,20 +349,26 @@ def main() -> None:
     warmup(spark)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
-    timings: dict[str, float] = {}
-    rates: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        best, n_rows = None, 0
-        rewarm = REWARM.get(name)
-        if rewarm is not None:
-            rewarm(spark)  # untimed: restore this query's page-cache state
-        for _ in range(reps):  # min-of-reps damps ambient host noise
+    # INTERLEAVED rep rounds (the bench_scaling idiom): this host shows
+    # minutes-long contention bursts, so back-to-back reps of one query
+    # all land inside the same burst and min-of-reps can't escape it;
+    # with full rounds over the query list, a burst poisons one round's
+    # chunk while the same query's other samples sit minutes away.
+    best: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for _ in range(reps):
+        for name, fn in QUERIES.items():
+            rewarm = REWARM.get(name)
+            if rewarm is not None:
+                rewarm(spark)  # untimed: restore this query's page-cache state
             t0 = time.perf_counter()
             n_rows, _ = fn(spark)
             dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
-        rates[name] = round(n_rows / best, 1)
+            rows[name] = n_rows
+            if name not in best or dt < best[name]:
+                best[name] = dt
+    timings = {name: round(best[name], 3) for name in QUERIES}
+    rates = {name: round(rows[name] / best[name], 1) for name in QUERIES}
 
     total = round(sum(timings.values()), 3)
     print(
