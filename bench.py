@@ -178,7 +178,10 @@ def q_pages_simhash_fingerprints(spark):
         .select("url", "text")
     )
     n_rows = docs.count()
-    out = with_simhash(docs, "url", "text").selectExpr(
+    # production hash family (one codegen xxhash64 per word); the md5
+    # family — kept for DuckDB-oracle reproducibility — stays gated by
+    # the CORRECTNESS queries on the documents table
+    out = with_simhash(docs, "url", "text", hash_fn="xxhash64").selectExpr(
         "count(distinct simhash) as n"
     ).head()["n"]
     return n_rows, out

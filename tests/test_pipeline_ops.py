@@ -585,3 +585,76 @@ class TestCuration:
             ).collect()
         }
         assert out == {7: "kept", 8: "duplicate", 9: "duplicate"}
+
+
+class TestSimhashArrowEngine:
+    """hash_fn='xxhash64' routes to the mapInArrow bit-vote kernel; its
+    fingerprints must behave like SimHash (close texts → small Hamming)
+    and the kernel must agree with a direct numpy recomputation."""
+
+    def test_kernel_matches_direct_recompute(self, spark):
+        import numpy as np
+
+        from probabilistic_rs_spark.operators.dedup import (
+            SIMHASH_BITS,
+            with_simhash,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon w{i} w{i*7%5}") for i in range(50)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["simhash"]
+            for r in with_simhash(df, "doc_id", "text", hash_fn="xxhash64").collect()
+        }
+        # recompute from the SAME JVM hashes, independent python vote
+        rows = df.select(
+            "doc_id",
+            F.transform(
+                F.split("text", r"\s+"),
+                lambda w: F.call_function(
+                    "shiftrightunsigned", F.xxhash64(w), F.lit(4)
+                ),
+            ).alias("h"),
+        ).collect()
+        for r in rows:
+            hs = np.array(r["h"], dtype=np.int64).view(np.uint64)
+            want = 0
+            for b in range(SIMHASH_BITS):
+                ones = int(((hs >> np.uint64(b)) & np.uint64(1)).sum())
+                if 2 * ones > len(hs):
+                    want |= 1 << b
+            assert got[r["doc_id"]] == np.int64(np.uint64(want)).item()
+
+    def test_close_texts_small_hamming_and_pairs(self, spark):
+        from probabilistic_rs_spark.operators.dedup import simhash_pairs
+
+        base = "the quick brown fox jumps over the lazy dog " * 8
+        df = spark.createDataFrame(
+            [(1, base), (2, base.replace("lazy", "sleepy", 1)),
+             (3, "совершенно другой текст о чём-то ещё " * 10)],
+            "doc_id long, text string",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_pairs(
+                df, "doc_id", "text", max_hamming=6, hash_fn="xxhash64"
+            ).collect()
+        }
+        assert (1, 2) in pairs
+        assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    def test_partitioning_invariance(self, spark):
+        from probabilistic_rs_spark.operators.dedup import with_simhash
+
+        df = spark.createDataFrame(
+            [(i, f"w{i%11} w{i%7} w{i%5} filler words here") for i in range(200)],
+            "doc_id long, text string",
+        )
+        a = {r["doc_id"]: r["simhash"]
+             for r in with_simhash(df.coalesce(1), "doc_id", "text", hash_fn="xxhash64").collect()}
+        b = {r["doc_id"]: r["simhash"]
+             for r in with_simhash(df.repartition(13), "doc_id", "text", hash_fn="xxhash64").collect()}
+        assert a == b
