@@ -293,8 +293,12 @@ def minhash_signatures(
 
     from pyspark.sql.types import StructField, StructType
 
-    sh = with_shingles(df, text_col, n)
-    base = sh.withColumn("__h", F.transform("shingles", lambda s: F.xxhash64(s))).select(
+    # shingle identity comes straight from xxhash64 over the n words
+    # (with_shingle_hashes) — the per-shingle "w1 w2" string concat the
+    # old path built just to hash it never exists (VERDICT r3 #8 applied
+    # here too); MinHash consumes only the hash set, so signatures stay
+    # a pure function of each doc's shingle SET
+    base = with_shingle_hashes(df, text_col, n, out_col="__h").select(
         F.col(id_col), F.col("__h")
     )
     num_perm_, seed_ = int(num_perm), int(seed)
@@ -412,8 +416,11 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verify: join candidate ids back to their shingle sets
-    sh = with_shingles(df, text_col, n).select(F.col(id_col).alias("__id"), "shingles")
+    # exact verify: join candidate ids back to their shingle-hash sets
+    # (8-byte identities — same Jaccard values absent 2^-64 collisions)
+    sh = with_shingle_hashes(df, text_col, n).select(
+        F.col(id_col).alias("__id"), "shingles"
+    )
     verified = (
         cand.join(sh.select(F.col("__id").alias("id_a"), F.col("shingles").alias("__sa")), "id_a")
         .join(sh.select(F.col("__id").alias("id_b"), F.col("shingles").alias("__sb")), "id_b")
