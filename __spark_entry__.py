@@ -437,6 +437,25 @@ def _q_cms_probe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_native_cms_probe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The all-JVM CMS point probe (native-probe family, round 4): same
+    build, but the estimate is ``least`` over d broadcast-row lookups
+    computed entirely in whole-stage codegen — zero Python per probe row.
+    Estimates are exact here (event_type cardinality ≪ w, no collisions),
+    so the exact-count oracle hash-matches."""
+    from probabilistic_rs_spark.operators.heavy_hitters import (
+        build_cms_state,
+        native_cms_probe,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    state = build_cms_state(ev, "event_type", eps=0.001, delta=0.001)
+    probes = ev.select("event_type").distinct()
+    return native_cms_probe(probes, "event_type", state).select(
+        F.col("event_type").alias("key"), "est_count"
+    )
+
+
 def _q_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expiring-Bloom semantics over event-time buckets: users present in
     the 3 most recent 7-day windows (per-level AND, cross-level OR probe —
@@ -881,6 +900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
         "hll_reaggregate_states": _q_hll_reaggregate_states,
         "cms_probe_event_counts": _q_cms_probe_event_counts,
+        "native_cms_probe_event_counts": _q_native_cms_probe_event_counts,
         "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
         "streaming_windowed_bloom_recent_users": _q_streaming_windowed_bloom_recent_users,
         "streaming_windowed_hll_users": _q_streaming_windowed_hll_users,
@@ -976,6 +996,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "cms_probe_event_counts": (
+            "SELECT event_type AS key, count(*)::BIGINT AS est_count "
+            "FROM events GROUP BY event_type"
+        ),
+        "native_cms_probe_event_counts": (
             "SELECT event_type AS key, count(*)::BIGINT AS est_count "
             "FROM events GROUP BY event_type"
         ),

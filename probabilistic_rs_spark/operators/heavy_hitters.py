@@ -343,6 +343,74 @@ def cms_probe(
     )
 
 
+# driver-side cache of the one-row table relation per (session, state
+# digest) — same idiom as membership._WORDS_DF_CACHE
+_CMS_TABLE_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cms_table_df(spark, state: bytes, cms: CountMinSketch) -> DataFrame:
+    from probabilistic_rs_spark.common import state_key
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, state_key(state))
+    df = _CMS_TABLE_DF_CACHE.get(key)
+    if df is None:
+        for old_key in [k for k in _CMS_TABLE_DF_CACHE if k[0] != app_id]:
+            try:
+                _CMS_TABLE_DF_CACHE.pop(old_key).unpersist()
+            except Exception:
+                pass
+        df = spark.createDataFrame(
+            [(cms.table.tolist(),)], "__cms_rows array<array<bigint>>"
+        ).cache()
+        if len(_CMS_TABLE_DF_CACHE) > 8:
+            for old in _CMS_TABLE_DF_CACHE.values():
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            _CMS_TABLE_DF_CACHE.clear()
+        _CMS_TABLE_DF_CACHE[key] = df
+    return df
+
+
+def native_cms_probe(
+    probe_df: DataFrame,
+    key_col: str,
+    state: bytes,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """``cms_probe`` with ZERO Python in the per-row path — the counting
+    member of the native-probe family (native Bloom / native quotient).
+
+    The CMS cell derivation is already Kirsch–Mitzenmacher over one
+    xxhash64 (``sketches/cms.py:_cells``): ``h1 = h >> 32``,
+    ``h2 = (h & 0xFFFFFFFF) | 1``, ``cell_j = (h1 + j·h2) & (w-1)`` —
+    every step is an exact JVM long expression (h1 < 2^32, j·h2 < d·2^32
+    ≪ 2^63, so ANSI arithmetic cannot overflow and signed math equals the
+    kernel's uint64 math). The d×w count matrix rides a broadcast one-row
+    ``array<array<bigint>>`` relation; the estimate is ``least`` over the
+    d row lookups, evaluated inside whole-stage codegen. Identical
+    estimates to :func:`cms_probe` by construction."""
+    cms = CountMinSketch.from_bytes(state)
+    tdf = _cms_table_df(probe_df.sparkSession, state, cms)
+    h = F.xxhash64(F.col(key_col).cast("string"))
+    h1 = F.call_function("shiftrightunsigned", h, F.lit(32))
+    h2 = h.bitwiseAND(F.lit(0xFFFFFFFF)).bitwiseOR(F.lit(1))
+    mask = F.lit(int(cms.w - 1))
+    lookups = []
+    for j in range(cms.d):
+        cell = (h1 + F.lit(int(j)) * h2).bitwiseAND(mask)
+        row = F.element_at(F.col("__cms_rows"), F.lit(int(j) + 1))
+        lookups.append(F.element_at(row, cell.cast("int") + F.lit(1)))
+    est = F.least(*lookups) if len(lookups) > 1 else lookups[0]
+    return (
+        probe_df.crossJoin(F.broadcast(tdf))
+        .withColumn(out_col, est)
+        .drop("__cms_rows")
+    )
+
+
 def exact_group_count(df: DataFrame, key_col: str) -> DataFrame:
     """Exact per-key counts via the plain built-in aggregate. This is
     already skew-safe for counts: Spark's hash aggregate does map-side

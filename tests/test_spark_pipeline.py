@@ -433,3 +433,44 @@ def test_tdigest_cdf_probe_matches_exact_ranks(spark):
     for (p,) in pts:
         exact = (int(p) + 1) / 10_000.0  # values uniform over 0..9999
         assert abs(got[p] - exact) <= 0.01, (p, got[p], exact)
+
+
+class TestNativeCmsProbe:
+    """JVM-expression CMS point probe: identical estimates to the pandas
+    kernel, zero Python in the per-row plan."""
+
+    def test_agrees_with_python_kernel(self, spark):
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.heavy_hitters import (
+            build_cms_state,
+            cms_probe,
+            native_cms_probe,
+        )
+
+        df = spark.range(0, 60_000).select(
+            F.concat(F.lit("k"), (F.col("id") % 500)).alias("k")
+        )
+        state = build_cms_state(df, "k", eps=0.001, delta=0.01)
+        probes = spark.range(0, 700).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k")
+        )
+        a = {r["k"]: r["est_count"] for r in cms_probe(probes, "k", state).collect()}
+        b = {r["k"]: r["est_count"] for r in native_cms_probe(probes, "k", state).collect()}
+        assert a == b
+        # CMS guarantee: never under-estimates a present key
+        assert all(b[f"k{i}"] >= 120 for i in range(500))
+
+    def test_plan_is_jvm_only(self, spark):
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.heavy_hitters import (
+            build_cms_state,
+            native_cms_probe,
+        )
+
+        df = spark.range(0, 5_000).select(F.col("id").cast("string").alias("k"))
+        state = build_cms_state(df, "k", eps=0.01, delta=0.05)
+        plan = native_cms_probe(df, "k", state)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert marker not in plan, f"python boundary in probe plan: {marker}"
