@@ -475,6 +475,32 @@ def _q_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFram
     return probe_recent(users, "user_id", levels).where(F.col("is_member")).select("user_id")
 
 
+def _q_native_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expiring-Bloom query on the NATIVE engine (round 4): levels
+    built with the JVM-xxhash64 KM family, probed by
+    ``native_probe_recent`` — per-level AND / cross-level OR entirely in
+    whole-stage codegen, zero Python per probe row. Same exact weekly
+    oracle as the parity query (the fpr is tiny, so the approximate
+    answer equals the exact one on this data)."""
+    from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+    from probabilistic_rs_spark.operators.windowed_bloom import native_probe_recent
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket",
+        F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / F.lit(7)).cast("long"),
+    )
+    spec = SketchSpec("bloom", "nbloom", "user_id", {"capacity": 100_000, "false_positive_rate": 0.0001})
+    states = sketch_aggregate(ev, ["bucket"], [spec])
+    recent = states.orderBy(F.desc("bucket")).limit(3).collect()
+    levels = [(r["bucket"], r["bucket"], bytes(r["bloom_state"])) for r in recent]
+    users = ev.select("user_id").distinct()
+    return (
+        native_probe_recent(users, "user_id", levels)
+        .where(F.col("is_member"))
+        .select("user_id")
+    )
+
+
 def _q_streaming_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING expiring Bloom (applyInPandasWithState, availableNow
     trigger over a file source) oracle-gated against the same exact weekly
@@ -902,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_probe_event_counts": _q_cms_probe_event_counts,
         "native_cms_probe_event_counts": _q_native_cms_probe_event_counts,
         "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
+        "native_windowed_bloom_recent_users": _q_native_windowed_bloom_recent_users,
         "streaming_windowed_bloom_recent_users": _q_streaming_windowed_bloom_recent_users,
         "streaming_windowed_hll_users": _q_streaming_windowed_hll_users,
         "sample_orders_per_priority": _q_sample_orders_per_priority,
@@ -1004,6 +1031,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "windowed_bloom_recent_users": (
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) >= "
+            "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "
+            "FROM events)"
+        ),
+        "native_windowed_bloom_recent_users": (
             "SELECT DISTINCT user_id FROM events "
             "WHERE floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) >= "
             "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "

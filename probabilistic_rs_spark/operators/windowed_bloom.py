@@ -40,16 +40,25 @@ def windowed_bloom_states(
     level_duration: str = "1 hour",
     capacity_per_level: int = 1_000_000,
     target_fpr: float = 0.01,
+    engine: str = "parity",
 ) -> DataFrame:
     """One Bloom state per tumbling event-time window.
 
     Returns (window_start, window_end, bloom_state, n_updates). Config
     defaults mirror the reference (capacity_per_level 1M, fpr 0.01,
     level_duration 1h — ``src/ebloom/config.rs:16-29``).
+
+    ``engine='parity'`` (default) builds reference-parity murmur/fnv
+    levels (probed by :func:`probe_recent`); ``engine='native'`` builds
+    the JVM-xxhash64 KM family (probed Python-free by
+    :func:`native_probe_recent`). The two families carry distinct wire
+    tags and never mix silently.
     """
+    if engine not in ("parity", "native"):
+        raise SketchConfigError(f"unknown windowed-bloom engine {engine!r}")
     spec = SketchSpec(
         "bloom",
-        "bloom",
+        "bloom" if engine == "parity" else "nbloom",
         item_col,
         {"capacity": capacity_per_level, "false_positive_rate": target_fpr},
     )
@@ -219,3 +228,76 @@ def probe_recent(
         return pd.Series(res)
 
     return probe_df.withColumn(out_col, probe(F.col(item_col).cast("string")))
+
+
+# driver-side cache of the stacked level-words relation, keyed by
+# (applicationId, combined full-blob digest) — membership._WORDS_DF_CACHE
+# idiom
+_LEVEL_WORDS_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def native_probe_recent(
+    probe_df: DataFrame,
+    item_col: str,
+    level_states: list[tuple],
+    out_col: str = "is_member",
+) -> DataFrame:
+    """:func:`probe_recent` for levels built with ``engine='native'``,
+    with ZERO Python in the per-row path: every active level's bit words
+    ride ONE broadcast ``array<array<bigint>>`` row, and the probe
+    evaluates per-level AND over the k KM bit tests, OR across levels —
+    the reference's expiring ``contains`` semantics
+    (``src/ebloom/filter.rs:602-638``) entirely inside whole-stage
+    codegen. All levels must share one (m, k) config (they do by
+    construction — one spec builds every window)."""
+    import hashlib
+
+    from probabilistic_rs_spark.common import state_key
+    from probabilistic_rs_spark.operators.membership import _native_member_expr
+    from probabilistic_rs_spark.sketches.native_bloom import NativeBloomSketch
+
+    if not level_states:
+        return probe_df.withColumn(out_col, F.lit(False))
+    sketches = [NativeBloomSketch.from_bytes(blob) for _, _, blob in level_states]
+    mk = {(sk.m, sk.k) for sk in sketches}
+    if len(mk) != 1:
+        raise SketchConfigError(
+            f"native_probe_recent needs one shared (m, k) across levels, got {mk}"
+        )
+    m, k = mk.pop()
+    spark = probe_df.sparkSession
+    app_id = spark.sparkContext.applicationId
+    h = hashlib.sha1()
+    for _, _, blob in level_states:
+        h.update(len(blob).to_bytes(8, "little"))
+        h.update(blob)
+    key = (app_id, h.hexdigest())
+    ldf = _LEVEL_WORDS_DF_CACHE.get(key)
+    if ldf is None:
+        for old_key in [kk for kk in _LEVEL_WORDS_DF_CACHE if kk[0] != app_id]:
+            try:
+                _LEVEL_WORDS_DF_CACHE.pop(old_key).unpersist()
+            except Exception:
+                pass
+        ldf = spark.createDataFrame(
+            [([sk.words().tolist() for sk in sketches],)],
+            "__wbl_words array<array<bigint>>",
+        ).cache()
+        if len(_LEVEL_WORDS_DF_CACHE) > 8:
+            for old in _LEVEL_WORDS_DF_CACHE.values():
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            _LEVEL_WORDS_DF_CACHE.clear()
+        _LEVEL_WORDS_DF_CACHE[key] = ldf
+    member = None
+    for lv in range(len(sketches)):
+        warr = F.element_at(F.col("__wbl_words"), F.lit(lv + 1))
+        term = _native_member_expr(item_col, warr, m, k)
+        member = term if member is None else (member | term)
+    return (
+        probe_df.crossJoin(F.broadcast(ldf))
+        .withColumn(out_col, member)
+        .drop("__wbl_words")
+    )

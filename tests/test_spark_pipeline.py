@@ -474,3 +474,71 @@ class TestNativeCmsProbe:
         plan = native_cms_probe(df, "k", state)._jdf.queryExecution().executedPlan().toString()
         for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
             assert marker not in plan, f"python boundary in probe plan: {marker}"
+
+
+class TestNativeWindowedBloom:
+    """engine='native' windowed levels + the all-JVM multi-level probe."""
+
+    def _states(self, spark):
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.windowed_bloom import (
+            recent_level_states,
+            windowed_bloom_states,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        states = windowed_bloom_states(
+            ev, "ts", "user_id", "7 days", capacity_per_level=50_000,
+            engine="native",
+        )
+        return ev, recent_level_states(states, num_levels=3)
+
+    def test_matches_per_level_or_and_zero_fn(self, spark):
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.membership import native_bloom_probe
+        from probabilistic_rs_spark.operators.windowed_bloom import (
+            native_probe_recent,
+        )
+
+        ev, levels = self._states(spark)
+        probes = ev.select("user_id").distinct()
+        got = {
+            r["user_id"]: r["is_member"]
+            for r in native_probe_recent(probes, "user_id", levels).collect()
+        }
+        # cross-check: OR of single-level native probes
+        want = {r["user_id"]: False for r in probes.collect()}
+        for _, _, blob in levels:
+            for r in native_bloom_probe(probes, "user_id", blob).collect():
+                want[r["user_id"]] = want[r["user_id"]] or r["is_member"]
+        assert got == want
+        # zero FN for users in the 3 most recent windows
+        lo = min(ws for ws, _, _ in levels)
+        recent = {
+            r["user_id"]
+            for r in ev.where(F.col("ts") >= F.lit(lo)).select("user_id").distinct().collect()
+        }
+        assert all(got[u] for u in recent)
+
+    def test_plan_is_jvm_only_and_families_unmixable(self, spark):
+        import pytest as _pytest
+
+        from probabilistic_rs_spark.errors import SketchStateError
+        from probabilistic_rs_spark.operators.windowed_bloom import (
+            native_probe_recent,
+            probe_recent,
+        )
+
+        ev, levels = self._states(spark)
+        probes = ev.select("user_id").distinct()
+        plan = native_probe_recent(probes, "user_id", levels)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert marker not in plan, f"python boundary in probe plan: {marker}"
+        # probing native-built levels with the parity kernel must raise,
+        # not silently mis-probe (distinct wire tags). The kernel runs
+        # executor-side, so the SketchStateError arrives wrapped in
+        # Spark's PythonException — match on the message instead.
+        with _pytest.raises(Exception, match="sketch type mismatch"):
+            probe_recent(probes, "user_id", levels).collect()
