@@ -363,6 +363,43 @@ def _q_cuckoo_members_after_delete(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_native_cuckoo_members_after_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cuckoo delete round-trip on the NATIVE family (round 4):
+    shards built with xxhash64-derived buckets (numpy xxh64_long mirrors
+    the JVM expressions bit-for-bit), deletion executor-side, then the
+    surviving member set probed with ZERO Python per row
+    (``native_cuckoo_probe`` — 2·bucket_size ``element_at`` tests against
+    one broadcast row of flattened shard tables)."""
+    from probabilistic_rs_spark.operators.cuckoo import (
+        build_cuckoo_shards,
+        cuckoo_delete,
+        native_cuckoo_probe,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    states = build_cuckoo_shards(
+        orders, "o_custkey", capacity=orders.count(), n_shards=8, native=True
+    )
+    doomed = (
+        customer.where(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .join(
+            orders.select(F.col("o_custkey").alias("k")).distinct(), "k", "left_semi"
+        )
+    )
+    states, _ = cuckoo_delete(states, doomed, "k")
+    probes = customer.select(F.col("c_custkey").alias("custkey")).union(
+        customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
+    )
+    return (
+        native_cuckoo_probe(probes, "custkey", states)
+        .where(F.col("is_member"))
+        .select("custkey")
+        .distinct()
+    )
+
+
 def _q_tdigest_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantiles of l_extendedprice; verdict = rank error <= 0.01."""
     from probabilistic_rs_spark.operators.quantiles import approx_quantiles
@@ -922,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_filter_urgent": _q_bloom_semi_filter_urgent,
         "bloom_incremental_checkpoint": _q_bloom_incremental_checkpoint,
         "cuckoo_members_after_delete": _q_cuckoo_members_after_delete,
+        "native_cuckoo_members_after_delete": _q_native_cuckoo_members_after_delete,
         "tdigest_price_quantile_bounds": _q_tdigest_price_bounds,
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
         "hll_reaggregate_states": _q_hll_reaggregate_states,
@@ -1001,6 +1039,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
         "cuckoo_members_after_delete": (
+            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+            "AND c_custkey % 3 != 0"
+        ),
+        "native_cuckoo_members_after_delete": (
             "SELECT DISTINCT c_custkey AS custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
             "AND c_custkey % 3 != 0"

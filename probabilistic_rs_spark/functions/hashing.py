@@ -373,6 +373,40 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> U64(31))
 
 
+_XXH_P1 = U64(0x9E3779B185EBCA87)
+_XXH_P2 = U64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = U64(0x165667B19E3779F9)
+_XXH_P4 = U64(0x85EBCA77C2B2AE63)
+_XXH_P5 = U64(0x27D4EB2F165667C5)
+
+
+def _rotl64(x: np.ndarray, r: int) -> np.ndarray:
+    rr = U64(r)
+    return (x << rr) | (x >> (U64(64) - rr))
+
+
+def xxh64_long(vals: np.ndarray, seed: int = 42) -> np.ndarray:
+    """Vectorized XXH64 of 8-byte integer inputs, BIT-EQUAL to Spark's
+    ``xxhash64(cast(x as bigint))`` (seed 42 — the XxHash64 expression's
+    default). This is the bridge that lets a Python build kernel derive
+    the same value a JVM probe expression computes from an integer column
+    (the native cuckoo family's alternate-bucket hash) — pinned against
+    live Spark output in ``tests/test_hashing.py``. Public XXH64
+    single-lane path (Collet): seed+P5+len, one round-mixed 8-byte lane,
+    avalanche finalizer."""
+    with np.errstate(over="ignore"):
+        x = np.asarray(vals).astype(np.int64, copy=False).view(U64)
+        h = U64(int(seed)) + _XXH_P5 + U64(8)
+        k1 = _rotl64(x * _XXH_P2, 31) * _XXH_P1
+        h = _rotl64(h ^ k1, 27) * _XXH_P1 + _XXH_P4
+        h ^= h >> U64(33)
+        h = h * _XXH_P2
+        h ^= h >> U64(29)
+        h = h * _XXH_P3
+        h ^= h >> U64(32)
+        return h
+
+
 def splitmix64_inplace(z: np.ndarray, tmp: np.ndarray) -> np.ndarray:
     """splitmix64 over a PRELOADED u64 array, in place, with one scratch
     array — bit-identical to :func:`splitmix64` (same wrapping u64 ops in

@@ -37,8 +37,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from probabilistic_rs_spark.errors import SketchConfigError
-from probabilistic_rs_spark.sketches.cuckoo import CuckooFilter
+from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
+from probabilistic_rs_spark.sketches.cuckoo import CuckooFilter, NativeCuckooFilter
 
 _SHARD_SCHEMA = StructType(
     [
@@ -54,6 +54,16 @@ def _hashed(df: DataFrame, item_col: str, n_shards: int) -> DataFrame:
     return df.select(h.alias("__h"), F.pmod(h, F.lit(n_shards)).cast("int").alias("__shard"))
 
 
+def _filter_from_bytes(blob: bytes):
+    """Deserialize either cuckoo family by its wire tag (the tag decides
+    the hash derivation; cross-family probing stays impossible because
+    each class validates its own tag)."""
+    try:
+        return CuckooFilter.from_bytes(blob)
+    except SketchStateError:
+        return NativeCuckooFilter.from_bytes(blob)
+
+
 def build_cuckoo_shards(
     df: DataFrame,
     item_col: str,
@@ -61,18 +71,23 @@ def build_cuckoo_shards(
     n_shards: int = 32,
     fingerprint_bits: int = 24,
     bucket_size: int = 4,
+    native: bool = False,
 ) -> list[bytes]:
     """Build the sharded filter over a key column; returns the list of
-    shard state bytes (index = shard id) for broadcast probing."""
+    shard state bytes (index = shard id) for broadcast probing.
+    ``native=True`` builds :class:`NativeCuckooFilter` shards (xxhash64
+    remix + alternate-bucket hash), probeable Python-free by
+    :func:`native_cuckoo_probe`."""
     if n_shards <= 0:
         raise SketchConfigError("n_shards must be positive")
     per_shard_cap = max(64, int(capacity / n_shards * 1.3) + 16)
     fb, bs, ns = int(fingerprint_bits), int(bucket_size), int(n_shards)
+    cls = NativeCuckooFilter if native else CuckooFilter
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["__shard"].iloc[0])
         hashes = np.unique(pdf["__h"].to_numpy(dtype="int64").view(np.uint64))
-        cf = CuckooFilter(per_shard_cap, fingerprint_bits=fb, bucket_size=bs)
+        cf = cls(per_shard_cap, fingerprint_bits=fb, bucket_size=bs)
         cf.insert_hashes(hashes)
         return pd.DataFrame(
             {"shard": [shard], "state": [cf.to_bytes()], "n_items": [len(hashes)]}
@@ -87,7 +102,7 @@ def build_cuckoo_shards(
     states: list[bytes] = [b""] * ns
     for r in rows:
         states[int(r["shard"])] = bytes(r["state"])
-    empty = CuckooFilter(per_shard_cap, fingerprint_bits=fb, bucket_size=bs).to_bytes()
+    empty = cls(per_shard_cap, fingerprint_bits=fb, bucket_size=bs).to_bytes()
     return [s if s else empty for s in states]
 
 
@@ -141,7 +156,7 @@ def cuckoo_probe(
     def _probe(hashes):
         shards = _SHARDS_CACHE.get(key)
         if shards is None:
-            shards = [CuckooFilter.from_bytes(b) for b in bc.value]
+            shards = [_filter_from_bytes(b) for b in bc.value]
             if len(_SHARDS_CACHE) > 4:
                 _SHARDS_CACHE.clear()
             _SHARDS_CACHE[key] = shards
@@ -202,7 +217,7 @@ def cuckoo_delete(
                 "shard_states length must match the build's n_shards"
             )
         shard = int(state_pdf["shard"].iloc[0])
-        cf = CuckooFilter.from_bytes(bytes(state_pdf["state"].iloc[0]))
+        cf = _filter_from_bytes(bytes(state_pdf["state"].iloc[0]))
         removed = 0
         if not del_pdf.empty:
             hs = np.unique(del_pdf["__h"].to_numpy(dtype="int64").view(np.uint64))
@@ -225,3 +240,131 @@ def cuckoo_delete(
     # shards the cogroup never saw (impossible: every state row appears)
     assert all(new_states), "cogroup dropped a shard state"
     return new_states, removed
+
+
+# driver-side cache of the one-row shard-tables relation, keyed by
+# (applicationId, combined digest) — membership._WORDS_DF_CACHE idiom
+_TABLES_DF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cuckoo_tables_df(spark, shard_states: list[bytes], shards: list):
+    import hashlib
+
+    app_id = spark.sparkContext.applicationId
+    h = hashlib.sha1()
+    for s in shard_states:
+        h.update(len(s).to_bytes(8, "little"))
+        h.update(s)
+    key = (app_id, h.hexdigest())
+    df = _TABLES_DF_CACHE.get(key)
+    if df is None:
+        for old_key in [k for k in _TABLES_DF_CACHE if k[0] != app_id]:
+            try:
+                _TABLES_DF_CACHE.pop(old_key).unpersist()
+            except Exception:
+                pass
+        nested = [sk.table.ravel().astype(np.int64).tolist() for sk in shards]
+        df = spark.createDataFrame(
+            [(nested,)], "__ck_tables array<array<bigint>>"
+        ).cache()
+        if len(_TABLES_DF_CACHE) > 8:
+            for old in _TABLES_DF_CACHE.values():
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            _TABLES_DF_CACHE.clear()
+        _TABLES_DF_CACHE[key] = df
+    return df
+
+
+def _native_cuckoo_member_expr(item_col: str, tables, ns: int, m: int, fb: int, b: int):
+    """The JVM membership predicate for native cuckoo shards:
+
+        h     = xxhash64(item)                   (shard routing hash)
+        shard = pmod(h, n_shards)
+        g     = xxhash64(h)                      (remix — xxh64_long parity)
+        fp    = shiftrightunsigned(g, 64-f), 0→1
+        i1    = g & (m-1)
+        i2    = i1 ^ (xxhash64(fp) & (m-1))
+
+    then fp is compared against the ``bucket_size`` slots of buckets i1
+    and i2 inside the routed shard's flattened table — 2·b ``element_at``
+    equality tests, all in whole-stage codegen. Exactly the expressions
+    whose numpy mirror built the table → zero false negatives."""
+    h = F.xxhash64(F.col(item_col).cast("string"))
+    shard = F.pmod(h, F.lit(int(ns))).cast("int")
+    g = F.xxhash64(h)
+    fp = F.call_function("shiftrightunsigned", g, F.lit(64 - fb))
+    fp = F.when(fp == F.lit(0), F.lit(1)).otherwise(fp)
+    i1 = g.bitwiseAND(F.lit(int(m - 1)))
+    i2 = i1.bitwiseXOR(F.xxhash64(fp).bitwiseAND(F.lit(int(m - 1))))
+    slots = F.element_at(tables, shard + F.lit(1))
+    tests = []
+    for bucket in (i1, i2):
+        base = (bucket * F.lit(int(b))).cast("int")
+        for s in range(b):
+            tests.append(F.element_at(slots, base + F.lit(s + 1)) == fp)
+    out = tests[0]
+    for t in tests[1:]:
+        out = out | t
+    return out
+
+
+def native_cuckoo_probe(
+    probe_df: DataFrame,
+    item_col: str,
+    shard_states: list[bytes],
+    out_col: str = "is_member",
+) -> DataFrame:
+    """:func:`cuckoo_probe` for shards built with ``native=True``, with
+    ZERO Python in the per-row path — the deletable-membership member of
+    the native-probe family (Bloom / quotient / CMS / expiring Bloom).
+    All shard tables ride one broadcast ``array<array<bigint>>`` row;
+    each probe row routes to its shard and tests its 2·bucket_size
+    candidate slots entirely inside whole-stage codegen. Deletions are
+    honored for free (a deleted fingerprint is simply absent from the
+    broadcast table). Identical verdicts to :func:`cuckoo_probe` on the
+    same states by construction."""
+    shards = [_filter_from_bytes(b) for b in shard_states]
+    if not all(isinstance(sk, NativeCuckooFilter) for sk in shards):
+        raise SketchConfigError(
+            "native_cuckoo_probe requires shards built with native=True "
+            "(the parity family's splitmix64 buckets are not JVM-derivable)"
+        )
+    geo = {(sk.m, sk.fingerprint_bits, sk.bucket_size) for sk in shards}
+    if len(geo) != 1:
+        raise SketchConfigError(f"shards disagree on geometry: {geo}")
+    m, fb, b = geo.pop()
+    tdf = _cuckoo_tables_df(probe_df.sparkSession, shard_states, shards)
+    member = _native_cuckoo_member_expr(
+        item_col, F.col("__ck_tables"), len(shard_states), m, fb, b
+    )
+    return (
+        probe_df.crossJoin(F.broadcast(tdf))
+        .withColumn(out_col, member)
+        .drop("__ck_tables")
+    )
+
+
+def native_cuckoo_semi_filter(
+    probe_df: DataFrame, item_col: str, shard_states: list[bytes]
+) -> DataFrame:
+    """Semi-join form: the membership predicate sits in the join
+    condition (single evaluation), like ``native_bloom_semi_filter``."""
+    shards = [_filter_from_bytes(b) for b in shard_states]
+    if not all(isinstance(sk, NativeCuckooFilter) for sk in shards):
+        raise SketchConfigError(
+            "native_cuckoo_semi_filter requires shards built with native=True"
+        )
+    geo = {(sk.m, sk.fingerprint_bits, sk.bucket_size) for sk in shards}
+    if len(geo) != 1:
+        raise SketchConfigError(f"shards disagree on geometry: {geo}")
+    m, fb, b = geo.pop()
+    tdf = _cuckoo_tables_df(probe_df.sparkSession, shard_states, shards)
+    member = _native_cuckoo_member_expr(
+        item_col, F.col("__ck_tables"), len(shard_states), m, fb, b
+    )
+    return (
+        probe_df.crossJoin(F.broadcast(tdf)).where(member).drop("__ck_tables")
+    )

@@ -43,7 +43,13 @@ import numpy as np
 
 from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
 from probabilistic_rs_spark.functions.hashing import splitmix64
-from probabilistic_rs_spark.sketches.base import TYPE_CUCKOO, pack_header, unpack_header, unpack_meta
+from probabilistic_rs_spark.sketches.base import (
+    TYPE_CUCKOO,
+    TYPE_NCUCKOO,
+    pack_header,
+    unpack_header,
+    unpack_meta,
+)
 
 U32 = np.uint32
 U64 = np.uint64
@@ -67,6 +73,11 @@ def _rank_in_group(sorted_keys: np.ndarray) -> np.ndarray:
 
 class CuckooFilter:
     __slots__ = ("capacity", "fingerprint_bits", "bucket_size", "m", "table", "n_items")
+
+    # wire-format type tag; the native subclass overrides it so tables
+    # built with different alternate-bucket hash families can never be
+    # silently cross-probed
+    _TYPE = TYPE_CUCKOO
 
     def __init__(
         self,
@@ -274,12 +285,12 @@ class CuckooFilter:
         # sparse: (uint32 slot index, uint32 fingerprint) pairs
         if len(nz) * 8 < flat.nbytes:
             payload = nz.astype(U32).tobytes() + flat[nz].tobytes()
-            return pack_header(TYPE_CUCKOO, version=2) + meta + payload
-        return pack_header(TYPE_CUCKOO, version=1) + meta + self.table.tobytes()
+            return pack_header(self._TYPE, version=2) + meta + payload
+        return pack_header(self._TYPE, version=1) + meta + self.table.tobytes()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CuckooFilter":
-        version, off = unpack_header(data, TYPE_CUCKOO)
+        version, off = unpack_header(data, cls._TYPE)
         capacity, fbits, bsize, m, n_items = unpack_meta(_META, data, off)
         sk = cls(capacity=capacity, fingerprint_bits=fbits, bucket_size=bsize)
         if sk.m != m:
@@ -302,3 +313,42 @@ class CuckooFilter:
             sk.table = flat.reshape(m, bsize).copy()
         sk.n_items = n_items
         return sk
+
+
+class NativeCuckooFilter(CuckooFilter):
+    """Cuckoo table whose remix AND alternate-bucket hash are XXH64 of an
+    8-byte integer — the exact function Spark's ``xxhash64`` expression
+    computes over a LONG column — so a JVM probe can derive (fp, i1, i2)
+    entirely inside whole-stage codegen:
+
+        g  = xxhash64(xxhash64(item))          (remix of the routing hash)
+        fp = shiftrightunsigned(g, 64-f), 0→1
+        i1 = g & (m-1)
+        i2 = i1 ^ (xxhash64(fp) & (m-1))
+
+    The Python build side mirrors this bit-for-bit via
+    :func:`~probabilistic_rs_spark.functions.hashing.xxh64_long` (pinned
+    against live Spark output). Same table geometry, displacement
+    semantics, wire layout, and FPR bound as the parity class — only the
+    hash family and the wire tag differ, so the two families can never be
+    silently cross-probed."""
+
+    _TYPE = TYPE_NCUCKOO
+
+    def _fp_and_buckets(self, hashes: np.ndarray):
+        from probabilistic_rs_spark.functions.hashing import xxh64_long
+
+        g = xxh64_long(hashes.astype(U64, copy=False).view(np.int64))
+        fp_mask = U64((1 << self.fingerprint_bits) - 1)
+        fp = ((g >> U64(64 - self.fingerprint_bits)) & fp_mask).astype(U64)
+        fp = np.where(fp == 0, U64(1), fp)
+        m_mask = U64(self.m - 1)
+        i1 = (g & m_mask).astype(np.int64)
+        i2 = (i1 ^ (xxh64_long(fp.view(np.int64)) & m_mask).astype(np.int64)).astype(np.int64)
+        return fp.astype(U32), i1, i2
+
+    def _alt_bucket(self, fp: int, i: int) -> int:
+        from probabilistic_rs_spark.functions.hashing import xxh64_long
+
+        alt = int(xxh64_long(np.array([fp], dtype=np.int64))[0])
+        return int(i ^ (alt & (self.m - 1)))

@@ -138,3 +138,100 @@ class TestSpark:
         res = {r["k"]: r["is_member"] for r in cuckoo_probe(probes, "k", states2).collect()}
         assert not any(res[f"d{i}"] for i in range(0, 30_000, 3))
         assert all(res[f"d{i}"] for i in range(1, 30_000, 3))
+
+
+class TestNativeCuckoo:
+    """xxhash64-family cuckoo shards + the all-JVM probe."""
+
+    def _build(self, spark, n=30_000):
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.cuckoo import build_cuckoo_shards
+
+        base = spark.range(0, n).select(
+            F.concat(F.lit("ck"), F.col("id")).alias("k")
+        )
+        states = build_cuckoo_shards(base, "k", capacity=n, n_shards=8, native=True)
+        return base, states
+
+    def test_native_probe_agrees_with_python_and_zero_fn(self, spark):
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.cuckoo import (
+            cuckoo_probe,
+            native_cuckoo_probe,
+        )
+
+        base, states = self._build(spark)
+        probes = base.union(
+            spark.range(9_000_000, 9_040_000).select(
+                F.concat(F.lit("ck"), F.col("id")).alias("k")
+            )
+        )
+        got_native = {
+            r["k"]: r["is_member"]
+            for r in native_cuckoo_probe(probes, "k", states).collect()
+        }
+        got_py = {
+            r["k"]: r["is_member"]
+            for r in cuckoo_probe(probes, "k", states).collect()
+        }
+        assert got_native == got_py
+        assert all(got_native[f"ck{i}"] for i in range(30_000))  # zero FN
+        # FPR over the 40k strangers within 3x of the paper bound
+        fps = sum(got_native[f"ck{i}"] for i in range(9_000_000, 9_040_000))
+        assert fps / 40_000 <= 3.0 * (2 * 4 / (1 << 24)) + 1e-3
+
+    def test_deletion_reflected_in_native_probe(self, spark):
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.cuckoo import (
+            cuckoo_delete,
+            native_cuckoo_probe,
+        )
+
+        base, states = self._build(spark, n=10_000)
+        doomed = spark.range(0, 10_000, 2).select(
+            F.concat(F.lit("ck"), F.col("id")).alias("k")
+        )
+        states2, removed = cuckoo_delete(states, doomed, "k")
+        assert removed == 5_000
+        got = {
+            r["k"]: r["is_member"]
+            for r in native_cuckoo_probe(base, "k", states2).collect()
+        }
+        assert not any(got[f"ck{i}"] for i in range(0, 10_000, 2))
+        assert all(got[f"ck{i}"] for i in range(1, 10_000, 2))
+
+    def test_plan_jvm_only_and_family_guard(self, spark):
+        import pytest as _pytest
+
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.errors import SketchConfigError
+        from probabilistic_rs_spark.operators.cuckoo import (
+            build_cuckoo_shards,
+            native_cuckoo_probe,
+            native_cuckoo_semi_filter,
+        )
+
+        base, states = self._build(spark, n=3_000)
+        plan = native_cuckoo_probe(base, "k", states)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert marker not in plan, f"python boundary in probe plan: {marker}"
+        assert native_cuckoo_semi_filter(base, "k", states).count() == 3_000
+        parity = build_cuckoo_shards(base, "k", capacity=3_000, n_shards=4)
+        with _pytest.raises(SketchConfigError, match="native=True"):
+            native_cuckoo_probe(base, "k", parity)
+
+    def test_partitioning_invariance_native(self, spark):
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.cuckoo import build_cuckoo_shards
+
+        base = spark.range(0, 8_000).select(
+            F.concat(F.lit("ck"), F.col("id")).alias("k")
+        )
+        a = build_cuckoo_shards(base.coalesce(1), "k", capacity=8_000, n_shards=4, native=True)
+        b = build_cuckoo_shards(base.repartition(16), "k", capacity=8_000, n_shards=4, native=True)
+        assert a == b

@@ -112,3 +112,30 @@ def test_splitmix64_determinism():
     a, b = H.splitmix64(x), H.splitmix64(x)
     assert (a == b).all()
     assert len(np.unique(a)) == 10
+
+
+def test_xxh64_long_pinned_spark_parity():
+    """Pinned against live Spark `xxhash64(cast(x as bigint))` output
+    (seed 42) — the bridge the native cuckoo family's Python build uses
+    to mirror the JVM probe expressions. Vectors captured from Spark
+    4.1.2 in this environment."""
+    import numpy as np
+
+    from probabilistic_rs_spark.functions.hashing import xxh64_long
+
+    vectors = {
+        0: -5252525462095825812,
+        1: -7001672635703045582,
+        42: -6876166290308861218,
+        -1: 3858142552250413010,
+        123456789: 3415128141240069951,
+        -987654321: 5435279837322829586,
+        (1 << 63) - 1: -3246596055638297850,
+        -(1 << 63): -8619748838626508300,
+        0xDEADBEEF: -4661190416160088710,
+    }
+    xs = np.array(list(vectors.keys()), dtype=np.int64)
+    got = xxh64_long(xs).view(np.int64).tolist()
+    assert got == list(vectors.values())
+    # a different seed must change the output (routing-hash chain safety)
+    assert xxh64_long(xs, seed=0).view(np.int64).tolist() != got
