@@ -60,7 +60,12 @@ def _filter_from_bytes(blob: bytes):
     each class validates its own tag)."""
     try:
         return CuckooFilter.from_bytes(blob)
-    except SketchStateError:
+    except SketchStateError as e:
+        # only a WIRE-TAG mismatch means "try the other family" — corrupt
+        # states must surface their own diagnostic, not a misleading
+        # cross-family tag error
+        if "type mismatch" not in str(e):
+            raise
         return NativeCuckooFilter.from_bytes(blob)
 
 
