@@ -21,7 +21,7 @@ from probabilistic_rs_spark.sketches.native_bloom import (
     NativeBloomPartialBuilder,
     NativeBloomSketch,
 )
-from probabilistic_rs_spark.sketches.cuckoo import CuckooFilter
+from probabilistic_rs_spark.sketches.cuckoo import CuckooFilter, NativeCuckooFilter
 from probabilistic_rs_spark.sketches.hll import HyperLogLog
 from probabilistic_rs_spark.sketches.kll import KLLSketch
 from probabilistic_rs_spark.sketches.quotient import QuotientFilter
@@ -34,6 +34,7 @@ __all__ = [
     "NativeBloomPartialBuilder",
     "NativeBloomSketch",
     "CuckooFilter",
+    "NativeCuckooFilter",
     "QuotientFilter",
     "HyperLogLog",
     "CountMinSketch",
