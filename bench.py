@@ -158,6 +158,27 @@ def q_pages_bloom_membership(spark):
     return PAGES_ROWS, hits
 
 
+def q_pages_cuckoo_membership(spark):
+    """North-star #4b: DELETABLE membership at scale — native cuckoo
+    shard build over urls (xxhash64 family), then the all-JVM probe
+    (shard routing + 2·bucket_size element_at slot tests) over the
+    deterministic 20% sample."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.cuckoo import (
+        build_cuckoo_shards,
+        native_cuckoo_semi_filter,
+    )
+
+    pages = spark.read.parquet(PAGES_PATH)
+    states = build_cuckoo_shards(
+        pages, "url", capacity=2 * PAGES_ROWS, n_shards=32, native=True
+    )
+    probes = pages.select("url").where(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
+    hits = native_cuckoo_semi_filter(probes, "url", states).count()
+    return PAGES_ROWS, hits
+
+
 def q_pages_simhash_fingerprints(spark):
     """LLM-pipeline kernel #1 (VERDICT r2 #7): SimHash fingerprints over
     a deterministic 20% page sample — the linear signature stage whose
@@ -242,6 +263,7 @@ QUERIES = {
     "pages_heavy_hosts": q_pages_heavy_hosts,
     "pages_quantiles": q_pages_quantiles,
     "pages_bloom_membership": q_pages_bloom_membership,
+    "pages_cuckoo_membership": q_pages_cuckoo_membership,
     "pages_simhash_fingerprints": q_pages_simhash_fingerprints,
     "pages_minhash_signatures": q_pages_minhash_signatures,
     "lineitem_flagship_multisketch": q_lineitem_flagship,
@@ -288,6 +310,7 @@ REWARM = {
     "pages_heavy_hosts": _touch_pages,
     "pages_quantiles": _touch_pages,
     "pages_bloom_membership": _touch_pages,
+    "pages_cuckoo_membership": _touch_pages,
     "pages_simhash_fingerprints": _touch_pages,
     "pages_minhash_signatures": _touch_pages,
     "lineitem_flagship_multisketch": _touch_lineitem,

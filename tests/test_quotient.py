@@ -316,3 +316,32 @@ class TestNativeProbe:
         plan = native_quotient_probe(base, "k", state)._jdf.queryExecution().executedPlan().toString()
         for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas", "MapInPandas"):
             assert marker not in plan, f"python boundary in probe plan: {marker}"
+
+
+def test_native_probe_wide_fingerprints_p_over_32(spark):
+    """p > 32 → uint64 fingerprints stored as int64 BIT PATTERNS in the
+    broadcast buckets; the JVM expression must agree on every verdict
+    (the sign-bit path the int64-view comment in _quotient_buckets_df
+    promises)."""
+    from probabilistic_rs_spark.operators.quotient import (
+        build_quotient_state,
+        native_quotient_probe,
+        quotient_probe,
+    )
+    from probabilistic_rs_spark.sketches.quotient import QuotientFilter
+
+    base = spark.range(0, 4_000).select(
+        F.concat(F.lit("w"), F.col("id")).alias("k")
+    )
+    # tiny fpr forces r up → p = q + r > 32
+    state = build_quotient_state(base, "k", capacity=8_000, false_positive_rate=1e-7)
+    assert QuotientFilter.from_bytes(state).p > 32
+    probes = base.union(
+        spark.range(7_000_000, 7_020_000).select(
+            F.concat(F.lit("w"), F.col("id")).alias("k")
+        )
+    )
+    a = {r["k"]: r["is_member"] for r in quotient_probe(probes, "k", state).collect()}
+    b = {r["k"]: r["is_member"] for r in native_quotient_probe(probes, "k", state).collect()}
+    assert a == b
+    assert all(b[f"w{i}"] for i in range(4_000))
