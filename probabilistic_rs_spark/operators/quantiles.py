@@ -98,3 +98,104 @@ def build_tdigest_state(
     if row is None:  # empty input -> empty digest, not a crash
         return spec.make().to_bytes()
     return bytes(row["td_state"])
+
+
+# driver-side cache of the one-row resampled-CDF relation, keyed by
+# (applicationId, state digest, resolution) — membership._WORDS_DF_CACHE idiom
+_CDF_TABLE_DF_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def native_tdigest_cdf_probe(
+    probe_df: DataFrame,
+    value_col: str,
+    state: bytes,
+    out_col: str = "cdf",
+    resolution: int = 4096,
+) -> DataFrame:
+    """``tdigest_cdf_probe`` with ZERO Python in the per-row path, via a
+    RESAMPLED CDF: the digest's piecewise-linear CDF is evaluated once,
+    driver-side, at ``resolution + 1`` equally spaced points over
+    [vmin, vmax]; the probe is then pure codegen arithmetic — bucket
+    index + linear interpolation between two ``element_at`` lookups of
+    the broadcast table.
+
+    This is a second approximation layered on the digest (the exact
+    kernel interpolates between true centroid positions; this one
+    between equal-width samples of that same curve). The added error is
+    bounded by the CDF's variation within one bucket — ≤ the digest's
+    own rank-error scale for ``resolution`` ≳ number of centroids (a
+    delta-200 digest holds ~100–200 centroids; the default 4096 buckets
+    oversample it 20×). NaN for empty digests and NULL for NULL inputs;
+    values outside [vmin, vmax] clamp to 0/1 exactly like ``np.interp``.
+
+    Measured (round 4, 600k-row probe, local[32]): a WASH vs the pandas
+    kernel (0.46 s vs 0.48 s warm) — ``np.interp`` is already one
+    vectorized call per Arrow batch, so unlike the membership probes
+    there is no boxing to eliminate. Choose this form not for speed but
+    for COMPOSABILITY: the CDF is a plain column expression that can sit
+    inside a join condition, a streaming projection, or any plan segment
+    where a Python boundary would break whole-stage codegen or state
+    serialization; choose :func:`tdigest_cdf_probe` when exact-kernel
+    interpolation parity matters."""
+    from probabilistic_rs_spark.common import state_key
+    from probabilistic_rs_spark.sketches.tdigest import TDigest
+
+    td = TDigest.from_bytes(state)
+    spark = probe_df.sparkSession
+    k = int(resolution)
+    if k < 2:
+        raise ValueError("resolution must be >= 2")
+    if td.n_centroids == 0 or td.vmax <= td.vmin:
+        # empty or degenerate (single point): constant expression, no join
+        const = (
+            F.lit(float("nan"))
+            if td.n_centroids == 0
+            else F.when(F.col(value_col).cast("double").isNull(), F.lit(None).cast("double"))
+            .when(F.col(value_col).cast("double") < F.lit(float(td.vmin)), F.lit(0.0))
+            .otherwise(F.lit(1.0))
+        )
+        return probe_df.withColumn(out_col, const)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, state_key(state), k)
+    tdf = _CDF_TABLE_DF_CACHE.get(key)
+    if tdf is None:
+        for old_key in [kk for kk in _CDF_TABLE_DF_CACHE if kk[0] != app_id]:
+            try:
+                _CDF_TABLE_DF_CACHE.pop(old_key).unpersist()
+            except Exception:
+                pass
+        import numpy as np
+
+        grid = np.linspace(td.vmin, td.vmax, k + 1)
+        table = td.cdf_batch(grid)
+        tdf = spark.createDataFrame(
+            [(table.tolist(),)], "__cdf_table array<double>"
+        ).cache()
+        if len(_CDF_TABLE_DF_CACHE) > 8:
+            for old in _CDF_TABLE_DF_CACHE.values():
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            _CDF_TABLE_DF_CACHE.clear()
+        _CDF_TABLE_DF_CACHE[key] = tdf
+    x = F.col(value_col).cast("double")
+    vmin, vmax = float(td.vmin), float(td.vmax)
+    span = (vmax - vmin) / k
+    pos = (x - F.lit(vmin)) / F.lit(span)
+    idx = F.least(F.greatest(F.floor(pos).cast("int"), F.lit(0)), F.lit(k - 1))
+    frac = pos - idx.cast("double")
+    lo = F.element_at(F.col("__cdf_table"), idx + F.lit(1))
+    hi = F.element_at(F.col("__cdf_table"), idx + F.lit(2))
+    interp = lo + (hi - lo) * frac
+    cdf = (
+        F.when(x.isNull(), F.lit(None).cast("double"))
+        .when(x <= F.lit(vmin), F.lit(0.0))
+        .when(x >= F.lit(vmax), F.lit(1.0))
+        .otherwise(interp)
+    )
+    return (
+        probe_df.crossJoin(F.broadcast(tdf))
+        .withColumn(out_col, cdf)
+        .drop("__cdf_table")
+    )

@@ -542,3 +542,53 @@ class TestNativeWindowedBloom:
         # Spark's PythonException — match on the message instead.
         with _pytest.raises(Exception, match="sketch type mismatch"):
             probe_recent(probes, "user_id", levels).collect()
+
+
+class TestNativeTdigestCdfProbe:
+    """Resampled-CDF JVM probe: within the digest's own error scale of
+    the exact pandas kernel, Python-free plan, exact clamp semantics."""
+
+    def test_close_to_exact_kernel_and_plan(self, spark):
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.quantiles import (
+            build_tdigest_state,
+            native_tdigest_cdf_probe,
+            tdigest_cdf_probe,
+        )
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        state = build_tdigest_state(li, "l_extendedprice")
+        probes = li.select(F.col("l_extendedprice").alias("v")).limit(2000)
+        exact = {r["v"]: r["cdf"] for r in tdigest_cdf_probe(probes, "v", state).collect()}
+        fast = {r["v"]: r["cdf"] for r in native_tdigest_cdf_probe(probes, "v", state).collect()}
+        assert set(exact) == set(fast)
+        worst = max(abs(exact[v] - fast[v]) for v in exact)
+        assert worst < 0.005, worst  # well inside delta-200 rank error
+        plan = native_tdigest_cdf_probe(probes, "v", state)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert marker not in plan
+
+    def test_clamps_nulls_and_empty_digest(self, spark):
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.quantiles import (
+            build_tdigest_state,
+            native_tdigest_cdf_probe,
+        )
+        from probabilistic_rs_spark.sketches.tdigest import TDigest
+
+        df = spark.range(0, 1000).select((F.col("id") * 1.0).alias("v"))
+        state = build_tdigest_state(df, "v")
+        probes = spark.createDataFrame(
+            [(-5.0,), (0.0,), (999.0,), (10_000.0,), (None,)], "v double"
+        )
+        got = {r["v"]: r["cdf"] for r in native_tdigest_cdf_probe(probes, "v", state).collect()}
+        assert got[-5.0] == 0.0 and got[0.0] == 0.0
+        assert got[999.0] == 1.0 and got[10_000.0] == 1.0
+        assert got[None] is None
+        import math
+
+        empty = TDigest(200.0).to_bytes()
+        got2 = [r["cdf"] for r in native_tdigest_cdf_probe(probes, "v", empty).collect()]
+        assert all(g is None or math.isnan(g) for g in got2)
