@@ -32,6 +32,24 @@ def state_key(state: bytes) -> str:
     return hashlib.sha1(state).hexdigest()
 
 
+def lru_evict(cache: dict, max_entries: int, release=None) -> None:
+    """Evict the OLDEST entries (dict insertion order) from a probe-family
+    memo until it holds at most ``max_entries`` — never the whole cache
+    (VERDICT r4 #3: a clear-all eviction dropped all 16 still-hot
+    broadcasts the moment a 17th family appeared, turning every
+    subsequent probe into a re-broadcast). ``release`` (e.g.
+    ``Broadcast.unpersist`` / ``DataFrame.unpersist``) is called on each
+    evicted value; release failures are swallowed — eviction is a memory
+    bound, not a correctness operation (unpersist is lazily recoverable)."""
+    while len(cache) > max_entries:
+        old = cache.pop(next(iter(cache)))
+        if release is not None:
+            try:
+                release(old)
+            except Exception:
+                pass
+
+
 def bits2hr(n_bits: int) -> str:
     b = n_bits / 8.0
     if b < _KB:

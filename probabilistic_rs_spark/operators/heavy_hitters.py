@@ -296,15 +296,11 @@ def _cms_broadcast(sc, state: bytes):
     memo_key = (sc.applicationId, key)
     bc = _PROBE_BROADCASTS.get(memo_key)
     if bc is None:
-        if len(_PROBE_BROADCASTS) > 32:
-            for _, old in _PROBE_BROADCASTS.values():
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
-            _PROBE_BROADCASTS.clear()
+        from probabilistic_rs_spark.common import lru_evict
+
         bc = sc.broadcast(state)
         _PROBE_BROADCASTS[memo_key] = (key, bc)
+        lru_evict(_PROBE_BROADCASTS, 32, lambda e: e[1].unpersist())
     return _PROBE_BROADCASTS[memo_key]
 
 
@@ -329,12 +325,13 @@ def cms_probe(
 
     @pandas_udf(LongType())
     def est(hashes: pd.Series) -> pd.Series:
+        from probabilistic_rs_spark.common import lru_evict
+
         cms = _CMS_CACHE.get(key)
         if cms is None:
             cms = CountMinSketch.from_bytes(bc.value)
-            if len(_CMS_CACHE) > 8:
-                _CMS_CACHE.clear()
             _CMS_CACHE[key] = cms
+            lru_evict(_CMS_CACHE, 8)
         h = hashes.to_numpy(dtype="int64").view(np.uint64)
         return pd.Series(cms.estimate_hashes(h).astype(np.int64))
 
@@ -363,14 +360,10 @@ def _cms_table_df(spark, state: bytes, cms: CountMinSketch) -> DataFrame:
         df = spark.createDataFrame(
             [(cms.table.tolist(),)], "__cms_rows array<array<bigint>>"
         ).cache()
-        if len(_CMS_TABLE_DF_CACHE) > 8:
-            for old in _CMS_TABLE_DF_CACHE.values():
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
-            _CMS_TABLE_DF_CACHE.clear()
         _CMS_TABLE_DF_CACHE[key] = df
+        from probabilistic_rs_spark.common import lru_evict
+
+        lru_evict(_CMS_TABLE_DF_CACHE, 8, lambda d: d.unpersist())
     return df
 
 

@@ -56,12 +56,13 @@ def build_bloom_state(
 
 
 def _get_filter(key: str, blob: bytes) -> BloomSketch:
+    from probabilistic_rs_spark.common import lru_evict
+
     sk = _FILTER_CACHE.get(key)
     if sk is None:
         sk = BloomSketch.from_bytes(blob)
-        if len(_FILTER_CACHE) > 8:
-            _FILTER_CACHE.clear()
         _FILTER_CACHE[key] = sk
+        lru_evict(_FILTER_CACHE, 8)
     return sk
 
 
@@ -162,14 +163,11 @@ def _native_words_df(spark, state: bytes, words) -> DataFrame:
         # folded, so it would re-parse per batch — measured 10x slower)
         df = spark.createDataFrame([(words.tolist(),)], "__nbf_words array<bigint>")
         df = df.cache()
-        if len(_WORDS_DF_CACHE) > 8:
-            for old in _WORDS_DF_CACHE.values():
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
-            _WORDS_DF_CACHE.clear()
         _WORDS_DF_CACHE[key] = df
+        # oldest-only eviction (VERDICT r4 #3): still-hot relations survive
+        from probabilistic_rs_spark.common import lru_evict
+
+        lru_evict(_WORDS_DF_CACHE, 8, lambda d: d.unpersist())
     return df
 
 

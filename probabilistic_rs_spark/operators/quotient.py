@@ -66,12 +66,13 @@ def build_quotient_state(
 
 
 def _get_qf(key: str, blob: bytes) -> QuotientFilter:
+    from probabilistic_rs_spark.common import lru_evict
+
     sk = _QF_CACHE.get(key)
     if sk is None:
         sk = QuotientFilter.from_bytes(blob)
-        if len(_QF_CACHE) > 8:
-            _QF_CACHE.clear()
         _QF_CACHE[key] = sk
+        lru_evict(_QF_CACHE, 8)
     return sk
 
 
@@ -130,14 +131,10 @@ def _quotient_buckets_df(spark, state: bytes, sk: QuotientFilter, bucket_bits: i
         vals = fps.astype(np.int64, copy=False) if fps.dtype == np.uint64 else fps.astype(np.int64)
         nested = [vals[s:e].tolist() for s, e in zip(starts.tolist(), ends.tolist())]
         df = spark.createDataFrame([(nested,)], "__qf_buckets array<array<bigint>>").cache()
-        if len(_BUCKETS_DF_CACHE) > 8:
-            for old in _BUCKETS_DF_CACHE.values():
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
-            _BUCKETS_DF_CACHE.clear()
         _BUCKETS_DF_CACHE[key] = df
+        from probabilistic_rs_spark.common import lru_evict
+
+        lru_evict(_BUCKETS_DF_CACHE, 8, lambda d: d.unpersist())
     return df, b
 
 

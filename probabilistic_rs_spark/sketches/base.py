@@ -40,6 +40,20 @@ def unpack_meta(meta_struct: struct.Struct, data: bytes, off: int):
         raise SketchStateError(f"corrupt sketch state: {e}") from e
 
 
+def peek_type(data: bytes) -> int:
+    """The wire-format type tag of a serialized state, validated but not
+    consumed — for dispatchers that pick a deserializer by family (e.g.
+    the cuckoo parity/native split) WITHOUT matching exception text
+    (ADVICE r4 #1: a rewording of the mismatch message must not be able
+    to break deserialization)."""
+    if len(data) < _HEADER.size:
+        raise SketchStateError(f"state too short: {len(data)} bytes")
+    magic, typ, _ = _HEADER.unpack_from(data, 0)
+    if magic != MAGIC:
+        raise SketchStateError(f"bad magic {magic!r}")
+    return typ
+
+
 def unpack_header(data: bytes, expect_type: int) -> tuple[int, int]:
     """Returns (version, payload_offset); raises on mismatch."""
     if len(data) < _HEADER.size:

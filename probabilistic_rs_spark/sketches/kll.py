@@ -132,6 +132,31 @@ class KLLSketch:
         idx = np.searchsorted(cum, targets, side="left")
         return items[np.minimum(idx, len(items) - 1)]
 
+    def cdf_batch(self, values: np.ndarray) -> np.ndarray:
+        """Vectorized estimated rank fraction P(X <= v) for a batch — the
+        inverse of :meth:`quantile`, one ``searchsorted`` over the
+        weighted sorted retained items (the same estimator as
+        :meth:`rank`, normalized by total weight; compaction preserves
+        total weight = n). NaN for an empty sketch."""
+        values = np.asarray(values, dtype=np.float64)
+        items, weights = self._weighted_sorted()
+        if len(items) == 0:
+            return np.full(values.shape, np.nan)
+        cum = np.cumsum(weights)
+        total = cum[-1]
+        idx = np.searchsorted(items, values, side="right")
+        ranks = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0)
+        return ranks / float(total)
+
+    @property
+    def item_min(self) -> float:
+        """Smallest retained item (≈ the true min up to rank error)."""
+        return float(min(lvl.min() for lvl in self.levels if len(lvl)))
+
+    @property
+    def item_max(self) -> float:
+        return float(max(lvl.max() for lvl in self.levels if len(lvl)))
+
     def rank_error_bound(self) -> float:
         """Empirical-grade bound ~ 2/k for the geometric schedule (the
         asymptotic bound is O((1/ε)·√log(1/δ)) space, i.e. ε ≈ c/k)."""
