@@ -400,6 +400,46 @@ def _q_native_cuckoo_members_after_delete(spark: SparkSession, sf_dir: str) -> D
     )
 
 
+def _q_cuckoo_partitioned_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-BROADCAST cuckoo family end-to-end (round 5): shard states
+    stay a distributed DataFrame (``build_cuckoo_shards_df`` — no driver
+    collect, no byte budget), deletion shuffles its keys to their shard
+    (``cuckoo_delete_df``), and the probe COGROUPS each probe slice with
+    its single shard state (``cuckoo_partitioned_probe``) — per-task
+    memory is one shard + one slice however large the filter. Same
+    deletion semantics and member set as the broadcast family
+    (``cuckoo_members_after_delete``), verdict-identical by construction
+    (same routing hash, same contains kernel)."""
+    from probabilistic_rs_spark.operators.cuckoo import (
+        build_cuckoo_shards_df,
+        cuckoo_delete_df,
+        cuckoo_partitioned_probe,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    states = build_cuckoo_shards_df(
+        orders, "o_custkey", capacity=orders.count(), n_shards=8
+    )
+    doomed = (
+        customer.where(F.col("c_custkey") % 3 == 0)
+        .select(F.col("c_custkey").alias("k"))
+        .join(
+            orders.select(F.col("o_custkey").alias("k")).distinct(), "k", "left_semi"
+        )
+    )
+    states = cuckoo_delete_df(states, doomed, "k")
+    probes = customer.select(F.col("c_custkey").alias("custkey")).union(
+        customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
+    )
+    return (
+        cuckoo_partitioned_probe(probes, "custkey", states)
+        .where(F.col("is_member"))
+        .select("custkey")
+        .distinct()
+    )
+
+
 def _q_tdigest_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantiles of l_extendedprice; verdict = rank error <= 0.01."""
     from probabilistic_rs_spark.operators.quantiles import approx_quantiles
@@ -601,6 +641,80 @@ def _q_streaming_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_streaming_native_windowed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming × native-probe composition (round 5): the expiring Bloom
+    runs as a STREAMING query with ``engine='native'`` (KM base hashes
+    computed in the streaming projection, ``applyInPandasWithState``
+    kernel is a bare scatter), every micro-batch's states are persisted
+    through the ``foreachBatch`` chunk-store sink
+    (``streaming/persistence.py`` — dirty-chunk incremental, native
+    family recorded in the store meta), and the membership probe runs
+    over the states LOADED BACK from the chunk stores with
+    ``native_probe_recent`` — per-level AND / cross-level OR entirely in
+    whole-stage codegen. Proves the zero-Python probe family composes
+    with both the stateful streaming operator's output and the
+    externalized persistence layout. Same weekly semantics and oracle as
+    ``streaming_windowed_bloom_recent_users``."""
+    import shutil
+    import tempfile
+
+    from probabilistic_rs_spark.chunkstore import WindowedBloomChunkStores
+    from probabilistic_rs_spark.operators.windowed_bloom import native_probe_recent
+    from probabilistic_rs_spark.sketches.bloom import BloomConfig
+    from probabilistic_rs_spark.sketches.native_bloom import NativeBloomSketch
+    from probabilistic_rs_spark.streaming import streaming_windowed_bloom
+    from probabilistic_rs_spark.streaming.persistence import (
+        start_persisted_windowed_bloom,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    bucket_start = F.to_timestamp(
+        F.date_add(
+            F.lit("2024-01-01").cast("date"),
+            (F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / 7) * 7).cast("int"),
+        )
+    )
+    src_df = ev.select("user_id", bucket_start.alias("bts"))
+    tmp = tempfile.mkdtemp(prefix="prs_stream_native_")
+    try:
+        src = f"{tmp}/src"
+        src_df.coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(src_df.schema).parquet(src)
+        out = streaming_windowed_bloom(
+            stream,
+            "bts",
+            "user_id",
+            level_duration="7 days",
+            watermark_delay="14 days",
+            capacity_per_level=100_000,
+            target_fpr=0.0001,
+            engine="native",
+        )
+        stores = WindowedBloomChunkStores(
+            f"{tmp}/stores",
+            BloomConfig(capacity=100_000, false_positive_rate=0.0001),
+            num_levels=3,
+            sketch_cls=NativeBloomSketch,
+        )
+        q = start_persisted_windowed_bloom(
+            out, stores, f"{tmp}/ck", available_now=True
+        )
+        q.awaitTermination(300)
+        # probe from the EXTERNALIZED layout, not the in-flight query
+        levels = [
+            (wk, wk, blob) for wk, blob in stores.active_level_states()
+        ]
+        users = ev.select("user_id").distinct()
+        members = (
+            native_probe_recent(users, "user_id", levels)
+            .where(F.col("is_member"))
+            .select("user_id")
+        )
+        return spark.createDataFrame(members.collect(), members.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_sample_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-reservoir sample: 5 uniform orders per
     o_orderpriority. Priority = md5-derived (engine-portable), so the
@@ -659,6 +773,41 @@ def _q_tdigest_cdf_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, p in enumerate(points)
     ]
     return spark.createDataFrame(data, "price double, within_bound boolean")
+
+
+def _q_native_kll_cdf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL rank/CDF probe with ZERO Python per probe row (round 5, the
+    t-digest resample trick applied to the compactor CDF): the merged
+    KLL state's step CDF is resampled driver-side into a 4096-bucket
+    table; each probe interpolates between two ``element_at`` lookups
+    inside whole-stage codegen. Verdict = estimated rank within the
+    sketch's ~2/k + resample bound of the exact rank."""
+    from probabilistic_rs_spark.operators.quantiles import (
+        build_kll_state,
+        native_kll_cdf_probe,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_days", F.datediff(F.to_date("l_shipdate"), F.lit("1992-01-01")).cast("double")
+    )
+    state = build_kll_state(li, "ship_days", k=200)
+    points = [200.0, 700.0, 1200.0, 1700.0, 2200.0]
+    probes = spark.createDataFrame([(p,) for p in points], "ship_days double")
+    est = {
+        float(r["ship_days"]): float(r["cdf"])
+        for r in native_kll_cdf_probe(probes, "ship_days", state).collect()
+    }
+    n_total = li.count()
+    aggs = [
+        (F.sum((F.col("ship_days") <= F.lit(p)).cast("long")) / F.lit(n_total)).alias(f"r{i}")
+        for i, p in enumerate(points)
+    ]
+    ranks = li.agg(*aggs).head()
+    data = [
+        (p, bool(abs(est[p] - float(ranks[f"r{i}"])) <= 0.02))
+        for i, p in enumerate(points)
+    ]
+    return spark.createDataFrame(data, "ship_days double, within_bound boolean")
 
 
 def _q_hll_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -940,7 +1089,11 @@ def _q_media_featurize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f.getItem(2) * 255).cast("int").alias("red"),
         F.round(f.getItem(3) * 255).cast("int").alias("green"),
         F.round(f.getItem(4) * 255).cast("int").alias("blue"),
-        f.getItem(15).cast("long").alias("n_pixels"),
+        # derived from the exact int-valued geometry slots, not the
+        # float32 pixel-count slot (ADVICE r4 #3: slot 15 loses exactness
+        # above 2^24 pixels, which would break this bigint hash match on
+        # large images)
+        (f.getItem(0) * f.getItem(1)).cast("long").alias("n_pixels"),
     )
 
 
@@ -960,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_incremental_checkpoint": _q_bloom_incremental_checkpoint,
         "cuckoo_members_after_delete": _q_cuckoo_members_after_delete,
         "native_cuckoo_members_after_delete": _q_native_cuckoo_members_after_delete,
+        "cuckoo_partitioned_members": _q_cuckoo_partitioned_members,
         "tdigest_price_quantile_bounds": _q_tdigest_price_bounds,
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
         "hll_reaggregate_states": _q_hll_reaggregate_states,
@@ -968,10 +1122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
         "native_windowed_bloom_recent_users": _q_native_windowed_bloom_recent_users,
         "streaming_windowed_bloom_recent_users": _q_streaming_windowed_bloom_recent_users,
+        "streaming_native_windowed_probe": _q_streaming_native_windowed_probe,
         "streaming_windowed_hll_users": _q_streaming_windowed_hll_users,
         "sample_orders_per_priority": _q_sample_orders_per_priority,
         "weighted_sample_docs_by_quality": _q_weighted_sample_docs,
         "tdigest_cdf_bounds": _q_tdigest_cdf_bounds,
+        "native_kll_cdf_probe": _q_native_kll_cdf_probe,
         "hll_event_type_user_overlap": _q_hll_user_overlap,
         "dedup_exact_text": _q_dedup_exact,
         "dedup_ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -1048,6 +1204,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
             "AND c_custkey % 3 != 0"
         ),
+        "cuckoo_partitioned_members": (
+            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+            "AND c_custkey % 3 != 0"
+        ),
         "quotient_members_after_delete": (
             "SELECT DISTINCT c_custkey AS custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
@@ -1091,6 +1252,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "
             "FROM events)"
         ),
+        "streaming_native_windowed_probe": (
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) >= "
+            "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "
+            "FROM events)"
+        ),
         "streaming_windowed_hll_users": (
             "SELECT floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7)::BIGINT "
             "AS week, count(DISTINCT user_id)::BIGINT AS n_users FROM events GROUP BY 1"
@@ -1101,6 +1268,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(price AS DOUBLE) AS price, within_bound FROM (VALUES "
             "(2000.0, TRUE), (20000.0, TRUE), (40000.0, TRUE), (60000.0, TRUE), "
             "(90000.0, TRUE)) AS t(price, within_bound)"
+        ),
+        "native_kll_cdf_probe": (
+            "SELECT CAST(ship_days AS DOUBLE) AS ship_days, within_bound FROM (VALUES "
+            "(200.0, TRUE), (700.0, TRUE), (1200.0, TRUE), (1700.0, TRUE), "
+            "(2200.0, TRUE)) AS t(ship_days, within_bound)"
         ),
         "hll_event_type_user_overlap": (
             "SELECT ta AS type_a, tb AS type_b, count(*)::BIGINT AS n_intersection FROM ("

@@ -382,6 +382,11 @@ def main() -> None:
     # chunk while the same query's other samples sit minutes away.
     best: dict[str, float] = {}
     rows: dict[str, int] = {}
+    # every rep's wall time goes into the record (VERDICT r4 #1 / advice
+    # #2): min-of-reps is the headline, but the per-rep spread is what
+    # lets a reader distinguish an ambient contention burst (one outlier
+    # rep) from a real regression (all reps slow) without re-running
+    reps_log: dict[str, list[float]] = {name: [] for name in QUERIES}
     for _ in range(reps):
         for name, fn in QUERIES.items():
             rewarm = REWARM.get(name)
@@ -391,6 +396,7 @@ def main() -> None:
             n_rows, _ = fn(spark)
             dt = time.perf_counter() - t0
             rows[name] = n_rows
+            reps_log[name].append(round(dt, 3))
             if name not in best or dt < best[name]:
                 best[name] = dt
     timings = {name: round(best[name], 3) for name in QUERIES}
@@ -404,6 +410,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_reps": reps_log,
                 "sf": SF,
                 "cpus": CPUS,
                 "pages_rows": PAGES_ROWS,

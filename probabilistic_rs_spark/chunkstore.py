@@ -42,6 +42,18 @@ from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
 from probabilistic_rs_spark.sketches.bloom import BloomConfig, BloomSketch
 
 
+def _family_classes() -> dict[int, type]:
+    """Wire-tag → sketch class for the families a chunk store can hold.
+    The family is persisted in the store meta so ``load`` reconstructs
+    the right hash family (a parity store probed as native — or vice
+    versa — would be silently wrong); stores written before the field
+    existed are parity Bloom."""
+    from probabilistic_rs_spark.sketches.base import TYPE_BLOOM, TYPE_NBLOOM
+    from probabilistic_rs_spark.sketches.native_bloom import NativeBloomSketch
+
+    return {TYPE_BLOOM: BloomSketch, TYPE_NBLOOM: NativeBloomSketch}
+
+
 class BloomChunkStore:
     """Driver-side chunk-addressed store for one Bloom filter state."""
 
@@ -85,9 +97,14 @@ class BloomChunkStore:
     # -- lifecycle (create / load / create_or_load) ----------------------------
 
     @classmethod
-    def create(cls, path: str, config: BloomConfig) -> "BloomChunkStore":
+    def create(
+        cls, path: str, config: BloomConfig, sketch_cls: type = BloomSketch
+    ) -> "BloomChunkStore":
         """Fresh store; wipes any existing one (reference create deletes a
-        pre-existing DB, ``src/bloom/filter.rs:54-66``)."""
+        pre-existing DB, ``src/bloom/filter.rs:54-66``). ``sketch_cls``
+        picks the hash family (parity ``BloomSketch`` default, or
+        ``NativeBloomSketch``); it is persisted in the meta so load
+        reconstructs the same family."""
         config.validate()
         if os.path.exists(path):
             shutil.rmtree(path)
@@ -98,6 +115,7 @@ class BloomChunkStore:
                 "capacity": config.capacity,
                 "false_positive_rate": config.false_positive_rate,
                 "chunk_size_bytes": config.chunk_size_bytes,
+                "family": int(sketch_cls._TYPE),
                 "n_updates": 0,
                 "generation": 0,
             }
@@ -113,7 +131,13 @@ class BloomChunkStore:
 
         store = cls(path)
         meta = store._read_meta()
-        sk = BloomSketch(
+        from probabilistic_rs_spark.sketches.base import TYPE_BLOOM
+
+        families = _family_classes()
+        fam = int(meta.get("family", TYPE_BLOOM))  # pre-field stores: parity
+        if fam not in families:
+            raise SketchStateError(f"unknown chunk-store sketch family {fam}")
+        sk = families[fam](
             BloomConfig(
                 capacity=int(meta["capacity"]),
                 false_positive_rate=float(meta["false_positive_rate"]),
@@ -137,12 +161,12 @@ class BloomChunkStore:
 
     @classmethod
     def create_or_load(
-        cls, path: str, config: BloomConfig
+        cls, path: str, config: BloomConfig, sketch_cls: type = BloomSketch
     ) -> tuple["BloomChunkStore", BloomSketch]:
         if os.path.exists(os.path.join(path, "bloom_config.json")):
-            return cls.load(path)
-        store = cls.create(path, config)
-        return store, BloomSketch(config)
+            return cls.load(path)  # persisted config AND family win
+        store = cls.create(path, config, sketch_cls)
+        return store, sketch_cls(config)
 
     # -- snapshots --------------------------------------------------------------
 
@@ -269,13 +293,20 @@ class WindowedBloomChunkStores:
     window directories beyond ``num_levels``.
     """
 
-    def __init__(self, root: str, config: BloomConfig, num_levels: int = 3):
+    def __init__(
+        self,
+        root: str,
+        config: BloomConfig,
+        num_levels: int = 3,
+        sketch_cls: type = BloomSketch,
+    ):
         if not (0 < num_levels <= 255):
             # reference cap: level count fits one byte (src/ebloom/config.rs:53-57)
             raise SketchConfigError("num_levels must be in 1..=255")
         self.root = root
         self.config = config
         self.num_levels = int(num_levels)
+        self.sketch_cls = sketch_cls
         self._live: dict[str, tuple[BloomChunkStore, BloomSketch]] = {}
 
     def _wdir(self, window_key: str) -> str:
@@ -317,7 +348,9 @@ class WindowedBloomChunkStores:
 
         entry = self._live.get(window_key)
         if entry is None:
-            entry = BloomChunkStore.create_or_load(self._wdir(window_key), self.config)
+            entry = BloomChunkStore.create_or_load(
+                self._wdir(window_key), self.config, self.sketch_cls
+            )
             self._live[window_key] = entry
         store, sk = entry
         prev_dirty = set(sk.dirty_chunks)

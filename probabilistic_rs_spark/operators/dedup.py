@@ -264,6 +264,28 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _list_lens_checked(harr, flat_size: int) -> np.ndarray:
+    """Per-slot lengths of a ListArray, VALIDATED against the flat value
+    buffer (ADVICE r4 #2). Spark-produced batches give null list slots
+    non-advancing offsets, so diff-of-offsets with nulls zeroed lines up
+    with ``flatten()``; an Arrow producer that advances offsets under
+    null slots (paired with a flatten() that keeps those values) would
+    silently misalign every subsequent doc's kernel output — fail loudly
+    on any layout where the lengths don't exactly cover the buffer."""
+    offsets = np.asarray(harr.offsets, dtype=np.int64)
+    lens = np.diff(offsets - offsets[0])
+    if harr.null_count:
+        lens = np.where(np.asarray(harr.is_valid()), lens, 0)
+    if int(lens.sum()) != int(flat_size):
+        raise ValueError(
+            f"Arrow list layout mismatch: per-slot lengths sum to "
+            f"{int(lens.sum())} but the flat value buffer holds "
+            f"{int(flat_size)} values — null slots with advancing offsets "
+            "are not supported by this kernel"
+        )
+    return lens
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -314,12 +336,9 @@ def minhash_signatures(
             harr = batch.column(1)
             if isinstance(harr, pa.ChunkedArray):  # pragma: no cover - defensive
                 harr = harr.combine_chunks()
-            offsets = np.asarray(harr.offsets, dtype=np.int64)
             flat_vals = harr.flatten()
             flat = np.asarray(flat_vals, dtype=np.int64).view(U64)
-            lens = np.diff(offsets - offsets[0])
-            if harr.null_count:
-                lens = np.where(np.asarray(harr.is_valid()), lens, 0)
+            lens = _list_lens_checked(harr, flat.size)
             sig_flat = _oph_signatures(flat, lens, num_perm_, seed_)
             sig_arr = pa.ListArray.from_arrays(
                 pa.array(
@@ -548,11 +567,8 @@ def _simhash_arrow(
             harr = batch.column(1)
             if isinstance(harr, pa.ChunkedArray):  # pragma: no cover - defensive
                 harr = harr.combine_chunks()
-            offsets = np.asarray(harr.offsets, dtype=np.int64)
             flat = np.asarray(harr.flatten(), dtype=np.int64).view(U64)
-            lens = np.diff(offsets - offsets[0])
-            if harr.null_count:
-                lens = np.where(np.asarray(harr.is_valid()), lens, 0)
+            lens = _list_lens_checked(harr, flat.size)
             fp = _simhash_fingerprints(flat, lens)
             yield pa.RecordBatch.from_arrays(
                 [batch.column(0), pa.array(fp.view(np.int64))],

@@ -167,7 +167,13 @@ def decode_ppm(data: bytes) -> np.ndarray:
 
 def image_features(img: np.ndarray) -> np.ndarray:
     """FEATURE_DIM stats of a decoded (h, w, 3) image: geometry + exact
-    per-channel mean/std/min/max (channel values scaled to [0, 1])."""
+    per-channel mean/std/min/max (channel values scaled to [0, 1]).
+
+    Exactness bound (ADVICE r4 #3): slots are float32, so the pixel-count
+    slot 15 (w·h) is exactly representable only below 2^24 pixels (~16 MP);
+    consumers needing an exact count above that must derive it as
+    ``slot0 · slot1`` — width and height individually stay exact far
+    beyond any real image dimension."""
     h, w = img.shape[0], img.shape[1]
     px = img.reshape(-1, 3).astype(np.float64) / 255.0
     out = np.empty(FEATURE_DIM, dtype=np.float32)

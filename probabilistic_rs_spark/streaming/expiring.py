@@ -104,6 +104,13 @@ def streaming_windowed_sketch(
                 import numpy as np
 
                 sk.update_hashes(vals.to_numpy(dtype="int64").view("uint64"))
+            elif kind == "nbloom":
+                # (h1, h2) KM base hashes computed JVM-side in the
+                # streaming projection — the stateful kernel is a bare
+                # position-derive + scatter, mirroring the batch build
+                import numpy as np
+
+                sk.update_base_hashes(np.array(vals.tolist(), dtype=np.int64))
             elif kind in ("tdigest", "kll"):
                 sk.update_values(vals.to_numpy(dtype="float64"))
             else:  # bloom: utf-8/binary items
@@ -149,6 +156,13 @@ def _value_expr(spec: SketchSpec, value_col: str):
     c = F.col(value_col)
     if spec.kind in ("hll", "cms"):
         return F.xxhash64(c.cast("string")).alias("__v")
+    if spec.kind == "nbloom":
+        from probabilistic_rs_spark.operators.sketch_agg import (
+            native_bloom_base_hash_exprs,
+        )
+
+        h1, h2 = native_bloom_base_hash_exprs(c)
+        return F.array(h1, h2).alias("__v")
     if spec.kind in ("tdigest", "kll"):
         return c.cast("double").alias("__v")
     return c.cast("string").alias("__v")
@@ -162,15 +176,28 @@ def streaming_windowed_bloom(
     watermark_delay: str = "2 hours",
     capacity_per_level: int = 1_000_000,
     target_fpr: float = 0.01,
+    engine: str = "parity",
 ) -> DataFrame:
     """The reference's expiring Bloom filter as a streaming query.
     Defaults mirror ``src/ebloom/config.rs:16-29`` (capacity_per_level 1M,
     fpr 0.01, 1h levels). Query the emitted state rows with
     ``operators.windowed_bloom.probe_recent`` over the N most recent
-    non-expired windows."""
+    non-expired windows.
+
+    ``engine='native'`` maintains JVM-xxhash64 KM levels instead: the KM
+    base-hash pair is computed in the streaming projection (whole-stage
+    codegen), the stateful kernel is a bare scatter, and the emitted
+    states are probeable Python-free with
+    ``operators.windowed_bloom.native_probe_recent`` — the codegen probe
+    family composes with ``applyInPandasWithState`` output because both
+    speak the same versioned wire format."""
+    from probabilistic_rs_spark.errors import SketchConfigError
+
+    if engine not in ("parity", "native"):
+        raise SketchConfigError(f"unknown streaming windowed-bloom engine {engine!r}")
     spec = SketchSpec(
         "bloom",
-        "bloom",
+        "bloom" if engine == "parity" else "nbloom",
         item_col,
         {"capacity": capacity_per_level, "false_positive_rate": target_fpr},
     )
