@@ -179,6 +179,33 @@ def q_pages_cuckoo_membership(spark):
     return PAGES_ROWS, hits
 
 
+def q_pages_cuckoo_partitioned(spark):
+    """North-star #4c: the NON-BROADCAST membership path — shard states
+    stay a distributed table and the 20% probe sample SHUFFLES to its
+    shard (cogrouped probe). This is the degradation path for filters too
+    big to broadcast; benching it alongside the broadcast probe records
+    what the scale-correct shape costs at this filter size (one probe
+    exchange vs an all-executor broadcast)."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.cuckoo import (
+        build_cuckoo_shards_df,
+        cuckoo_partitioned_probe,
+    )
+
+    pages = spark.read.parquet(PAGES_PATH)
+    states = build_cuckoo_shards_df(
+        pages, "url", capacity=2 * PAGES_ROWS, n_shards=32
+    )
+    probes = pages.select("url").where(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
+    hits = (
+        cuckoo_partitioned_probe(probes, "url", states, n_shards=32)
+        .where(F.col("is_member"))
+        .count()
+    )
+    return PAGES_ROWS, hits
+
+
 def q_pages_simhash_fingerprints(spark):
     """LLM-pipeline kernel #1 (VERDICT r2 #7): SimHash fingerprints over
     a deterministic 20% page sample — the linear signature stage whose
@@ -264,6 +291,7 @@ QUERIES = {
     "pages_quantiles": q_pages_quantiles,
     "pages_bloom_membership": q_pages_bloom_membership,
     "pages_cuckoo_membership": q_pages_cuckoo_membership,
+    "pages_cuckoo_partitioned": q_pages_cuckoo_partitioned,
     "pages_simhash_fingerprints": q_pages_simhash_fingerprints,
     "pages_minhash_signatures": q_pages_minhash_signatures,
     "lineitem_flagship_multisketch": q_lineitem_flagship,
@@ -311,6 +339,7 @@ REWARM = {
     "pages_quantiles": _touch_pages,
     "pages_bloom_membership": _touch_pages,
     "pages_cuckoo_membership": _touch_pages,
+    "pages_cuckoo_partitioned": _touch_pages,
     "pages_simhash_fingerprints": _touch_pages,
     "pages_minhash_signatures": _touch_pages,
     "lineitem_flagship_multisketch": _touch_lineitem,

@@ -311,8 +311,12 @@ def cuckoo_delete_df(
     def apply_deletes(state_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
         if state_pdf.empty:
             # keys routed to a shard that never existed: nothing to delete
-            return pd.DataFrame({"shard": [], "state": [], "n_removed": []}).astype(
-                {"shard": "int32", "n_removed": "int64"}, errors="ignore"
+            return pd.DataFrame(
+                {
+                    "shard": pd.Series([], dtype="int32"),
+                    "state": pd.Series([], dtype=object),
+                    "n_removed": pd.Series([], dtype="int64"),
+                }
             )
         shard = int(state_pdf["shard"].iloc[0])
         cf = _filter_from_bytes(bytes(state_pdf["state"].iloc[0]))

@@ -137,11 +137,9 @@ def native_tdigest_cdf_probe(
     where a Python boundary would break whole-stage codegen or state
     serialization; choose :func:`tdigest_cdf_probe` when exact-kernel
     interpolation parity matters."""
-    from probabilistic_rs_spark.common import state_key
     from probabilistic_rs_spark.sketches.tdigest import TDigest
 
     td = TDigest.from_bytes(state)
-    spark = probe_df.sparkSession
     k = int(resolution)
     if k < 2:
         raise ValueError("resolution must be >= 2")

@@ -122,6 +122,18 @@ class TestPartitionedFamily:
         assert gone.where("is_member").count() == 0
         new_states.unpersist()
 
+    def test_delete_keys_to_absent_shard_are_noop(self, spark):
+        # 64 shards over 40 keys: some delete keys route to shards with
+        # no state row — they were never inserted, so nothing happens
+        keys = _keys_df(spark, 40)
+        sdf = build_cuckoo_shards_df(keys, "key", capacity=40, n_shards=64).cache()
+        absent = _keys_df(spark, 500, prefix="ghost")
+        new_states = cuckoo_delete_df(sdf, absent, "key")
+        assert new_states.agg(F.sum("n_removed")).head()[0] == 0
+        out = cuckoo_partitioned_probe(keys, "key", new_states)
+        assert out.where("is_member").count() == 40
+        sdf.unpersist()
+
     def test_probe_no_state_shard_not_member(self, spark):
         # 64 shards over 40 keys: most shards have no state row
         keys = _keys_df(spark, 40)
