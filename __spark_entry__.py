@@ -193,6 +193,44 @@ def _q_quotient_members_after_delete(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+def _q_quotient_partitioned_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quotient filter's NON-BROADCAST family (round 5): shard states
+    are a distributed table keyed by fingerprint PREFIX — each shard is a
+    contiguous slice of the global sorted run, so the two families are
+    two physical layouts of one logical filter (folding the shards
+    reproduces ``build_quotient_state``'s bytes bit-identically; asserted
+    in tests). Deletion shuffles keys to their prefix shard
+    (``quotient_delete_df``), the probe cogroups each slice with its
+    shard (``quotient_partitioned_probe``). Same member set as
+    ``quotient_members_after_delete``; fpr 1e-8 → expected FP ≈ 0,
+    deterministic."""
+    from probabilistic_rs_spark.operators.quotient import (
+        build_quotient_shards_df,
+        quotient_delete_df,
+        quotient_partitioned_probe,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    states = build_quotient_shards_df(
+        orders, "o_custkey", capacity=orders.count(), false_positive_rate=1e-8,
+        shard_bits=3,
+    )
+    doomed = customer.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    states = quotient_delete_df(states, doomed, "k")
+    probes = customer.select(F.col("c_custkey").alias("custkey")).union(
+        customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
+    )
+    return (
+        quotient_partitioned_probe(probes, "custkey", states)
+        .where(F.col("is_member"))
+        .select("custkey")
+        .distinct()
+    )
+
+
 def _q_native_bloom_members_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native-hash (JVM-probe) Bloom semi-join — same contract as
     `bloom_members_custkey` but the probe predicate runs entirely inside
@@ -1108,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_members_custkey": _q_bloom_members_custkey,
         "native_bloom_members_custkey": _q_native_bloom_members_custkey,
         "quotient_members_after_delete": _q_quotient_members_after_delete,
+        "quotient_partitioned_members": _q_quotient_partitioned_members,
         "bloom_fpr_gate": _q_bloom_fpr_gate,
         "bloom_semi_filter_urgent": _q_bloom_semi_filter_urgent,
         "bloom_incremental_checkpoint": _q_bloom_incremental_checkpoint,
@@ -1210,6 +1249,11 @@ def oracle_sql() -> dict[str, str]:
             "AND c_custkey % 3 != 0"
         ),
         "quotient_members_after_delete": (
+            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+            "AND c_custkey % 3 != 0"
+        ),
+        "quotient_partitioned_members": (
             "SELECT DISTINCT c_custkey AS custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
             "AND c_custkey % 3 != 0"

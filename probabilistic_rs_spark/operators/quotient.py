@@ -35,6 +35,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
 from probabilistic_rs_spark.common import state_key
+from probabilistic_rs_spark.errors import SketchConfigError
 from probabilistic_rs_spark.operators.sketch_agg import (
     SketchSpec,
     build_global_state,
@@ -195,6 +196,211 @@ def native_quotient_semi_filter(
     return (
         probe_df.crossJoin(F.broadcast(bdf)).where(member).drop("__qf_buckets")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned (non-broadcast) family — round 5, the cuckoo-partitioned
+# idiom applied to the second O(n)-state structure. The quotient shard
+# function is special: shard id = the TOP shard_bits OF THE HASH, which
+# are also the top bits of the fingerprint — so each shard holds a
+# CONTIGUOUS range of the global sorted run, and folding the shard
+# states back together reproduces the global state BIT-IDENTICALLY
+# (disjoint sorted-run union; asserted in tests). The broadcast and
+# partitioned families are therefore two physical layouts of one
+# logical filter, not two filters.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import (  # noqa: E402
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_QSHARD_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType(), False),
+        StructField("state", BinaryType(), False),
+        StructField("n_items", LongType(), False),
+    ]
+)
+
+
+def _qhashed(df: DataFrame, item_col: str, shard_bits: int) -> DataFrame:
+    """(__h, __shard): shard id = top ``shard_bits`` of the hash — the
+    fingerprint's own prefix (fp = top p bits of h, so
+    ``fp >> (p - s) == h >> (64 - s)``), computable without knowing p."""
+    h = F.xxhash64(F.col(item_col).cast("string"))
+    shard = F.call_function("shiftrightunsigned", h, F.lit(64 - shard_bits)).cast("int")
+    return df.select(h.alias("__h"), shard.alias("__shard"))
+
+
+def build_quotient_shards_df(
+    df: DataFrame,
+    item_col: str,
+    capacity: int,
+    false_positive_rate: float = 0.01,
+    shard_bits: int = 5,
+) -> DataFrame:
+    """The NON-BROADCAST quotient build: one filter per fingerprint-prefix
+    shard, returned as a distributed ``(shard, state, n_items, n_shards)``
+    table — no driver collect, so no ``max_state_bytes`` budget applies
+    (no single process ever holds more than one shard's run). Every shard
+    uses the GLOBAL ``(capacity, fpr)`` config, so (q, r) — and hence
+    fingerprints — are identical across shards and to the broadcast
+    family; merging all shard states reproduces ``build_quotient_state``'s
+    bytes exactly. Probe with :func:`quotient_partitioned_probe`, delete
+    with :func:`quotient_delete_df`; persist or write the result before
+    reusing it (it is a lazy plan).
+
+    Pick ``shard_bits`` so one shard's run (~``fp_bytes · n /
+    2^shard_bits``) fits executor memory; shards also parallelize the
+    sort/consolidate work."""
+    if not (1 <= int(shard_bits) <= 20):
+        raise SketchConfigError("shard_bits must be in 1..=20")
+    s = int(shard_bits)
+    cap, fpr = int(capacity), float(false_positive_rate)
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        shard = int(pdf["__shard"].iloc[0])
+        # the budget is a broadcast guard; a shard's state is a slice
+        sk = QuotientFilter(cap, fpr, max_state_bytes=None)
+        sk.update_hashes(pdf["__h"].to_numpy(dtype="int64").view(np.uint64))
+        return pd.DataFrame(
+            {"shard": [shard], "state": [sk.to_bytes()], "n_items": [sk.n_items]}
+        )
+
+    out = (
+        _qhashed(df, item_col, s)
+        .groupBy("__shard")
+        .applyInPandas(build, _QSHARD_SCHEMA)
+    )
+    return out.withColumn("n_shards", F.lit(1 << s))
+
+
+def _qstates_shard_bits(states_df: DataFrame, n_shards: int | None) -> int:
+    if n_shards is None:
+        if "n_shards" not in states_df.columns:
+            raise SketchConfigError(
+                "states_df carries no n_shards column — pass n_shards explicitly"
+            )
+        row = states_df.select(
+            F.max("n_shards").alias("hi"), F.min("n_shards").alias("lo")
+        ).head()
+        if row is None or row["hi"] is None:
+            raise SketchConfigError("empty states_df: build produced no shards")
+        if int(row["hi"]) != int(row["lo"]):
+            raise SketchConfigError(
+                f"states_df mixes shard moduli ({row['lo']} vs {row['hi']})"
+            )
+        n_shards = int(row["hi"])
+    s = int(n_shards).bit_length() - 1
+    if (1 << s) != int(n_shards):
+        raise SketchConfigError(f"quotient n_shards must be a power of two, got {n_shards}")
+    return s
+
+
+def quotient_partitioned_probe(
+    probe_df: DataFrame,
+    item_col: str,
+    states_df: DataFrame,
+    n_shards: int | None = None,
+    out_col: str = "is_member",
+) -> DataFrame:
+    """Membership probe against the DISTRIBUTED shard table: probe rows
+    shuffle by their fingerprint prefix and are cogrouped with their
+    shard's single state row — one ``searchsorted`` per (shard, slice),
+    per-task memory = one shard run + one probe slice however large the
+    filter. Verdict-identical to :func:`quotient_probe` on the merged
+    state (same hash, same fingerprints, same kernel). Keys routed to a
+    shard with no state row (no keys at build) are not members."""
+    s = _qstates_shard_bits(states_df, n_shards)
+    probe_cols = list(probe_df.columns)
+    if out_col in probe_cols:
+        raise SketchConfigError(f"probe_df already has a column {out_col!r}")
+    probed = probe_df.withColumn(
+        "__h", F.xxhash64(F.col(item_col).cast("string"))
+    ).withColumn(
+        "__shard",
+        F.call_function("shiftrightunsigned", F.col("__h"), F.lit(64 - s)).cast("int"),
+    )
+    out_schema = StructType(
+        list(probed.schema.fields)[: len(probe_cols)]
+        + [StructField(out_col, BooleanType(), False)]
+    )
+
+    def probe_fn(state_pdf: pd.DataFrame, probe_pdf: pd.DataFrame) -> pd.DataFrame:
+        if probe_pdf.empty:
+            return probe_pdf.reindex(columns=[f.name for f in out_schema.fields])
+        out = probe_pdf.drop(columns=["__h", "__shard"])
+        if state_pdf.empty:
+            out[out_col] = False
+            return out
+        sk = QuotientFilter.from_bytes(bytes(state_pdf["state"].iloc[0]))
+        h = probe_pdf["__h"].to_numpy(dtype="int64").view(np.uint64)
+        out[out_col] = sk.contains_hashes(h)
+        return out
+
+    return (
+        states_df.select("shard", "state")
+        .groupby("shard")
+        .cogroup(probed.groupby("__shard"))
+        .applyInPandas(probe_fn, out_schema)
+    )
+
+
+def quotient_delete_df(
+    states_df: DataFrame,
+    delete_df: DataFrame,
+    item_col: str,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Set-style deletion against the DISTRIBUTED shard table (the
+    partitioned analog of :func:`quotient_delete`): delete keys shuffle
+    to their fingerprint-prefix shard (8 bytes/key) and every occurrence
+    of each present fingerprint is removed shard-locally — state bytes
+    never visit the driver. Returns ``(shard, state, n_removed,
+    n_shards)``; aggregate ``n_removed`` for the occurrence count.
+    Deleting a never-inserted key is a no-op except for the ≤FPR
+    fingerprint-collision hazard shared by every deletable filter."""
+    s = _qstates_shard_bits(states_df, n_shards)
+    deletes = _qhashed(delete_df, item_col, s)
+    out_schema = StructType(
+        [
+            StructField("shard", IntegerType(), False),
+            StructField("state", BinaryType(), False),
+            StructField("n_removed", LongType(), False),
+        ]
+    )
+
+    def apply_deletes(state_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        if state_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "shard": pd.Series([], dtype="int32"),
+                    "state": pd.Series([], dtype=object),
+                    "n_removed": pd.Series([], dtype="int64"),
+                }
+            )
+        shard = int(state_pdf["shard"].iloc[0])
+        sk = QuotientFilter.from_bytes(bytes(state_pdf["state"].iloc[0]))
+        removed = 0
+        if not del_pdf.empty:
+            h = np.unique(del_pdf["__h"].to_numpy(dtype="int64").view(np.uint64))
+            fps = np.unique(sk._fingerprints(h))
+            removed = sk.remove_all(fps)
+        return pd.DataFrame(
+            {"shard": [shard], "state": [sk.to_bytes()], "n_removed": [removed]}
+        )
+
+    out = (
+        states_df.select("shard", "state")
+        .groupby("shard")
+        .cogroup(deletes.groupby("__shard"))
+        .applyInPandas(apply_deletes, out_schema)
+    )
+    return out.withColumn("n_shards", F.lit(1 << s))
 
 
 def quotient_delete(
