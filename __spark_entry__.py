@@ -1029,6 +1029,41 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    the LSH one (round 5): deterministic spherical k-means on a bounded
+    hash-ordered sample, map-side list assignment, candidates via an
+    equi-join on probed list ids, exact re-rank. Verdict = per-query
+    recall@5 vs the exact broadcast top-k ≥ 0.6. (The synthetic
+    embeddings are near-uniform — no cluster structure — so the probe
+    fraction must be generous here, n_probe 10/16 measures recall
+    0.8–1.0 per query; on real clustered embeddings the same operator
+    runs at a fraction of the probe cost. Fully deterministic for the
+    fixed seed, so the verdicts are stable.)"""
+    from probabilistic_rs_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, qs, "vec_id", "embedding", k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(
+            emb, qs, "vec_id", "embedding", k=5, n_lists=16, n_probe=10
+        ).collect()
+    }
+    hits: dict[int, int] = {}
+    for q, n in exact:
+        hits[int(q)] = hits.get(int(q), 0) + ((q, n) in approx)
+    data = [(q, bool(hits.get(q, 0) / 5.0 >= 0.6)) for q in range(10)]
+    return spark.createDataFrame(data, "query_id bigint, recall_ok boolean")
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from probabilistic_rs_spark.functions.text import (
         bpe_ish_token_count,
@@ -1178,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_neardup": _q_embedding_cosine_neardup,
         "embedding_cosine_neardup_high": _q_embedding_cosine_neardup_high,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ivf_ann_recall": _q_ivf_ann_recall,
         "text_stats": _q_text_stats,
         "text_lang_id": _q_text_lang_id,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -1392,6 +1428,10 @@ def oracle_sql() -> dict[str, str]:
             "      FROM s) "
             "SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rank::INT AS rank "
             "FROM r WHERE rank <= 5"
+        ),
+        "ivf_ann_recall": (
+            "SELECT CAST(range AS BIGINT) AS query_id, TRUE AS recall_ok "
+            "FROM range(10)"
         ),
         "text_stats": (
             "SELECT doc_id, "

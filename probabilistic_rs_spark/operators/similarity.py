@@ -106,6 +106,135 @@ def cosine_topk(
     )
 
 
+def _train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_lists: int,
+    sample_size: int,
+    iters: int,
+    seed: int,
+) -> np.ndarray:
+    """Deterministic spherical k-means over a BOUNDED hash-ordered sample
+    (the smallest ``sample_size`` rows by ``xxhash64(id)`` — a stable
+    pseudo-random sample that never depends on partitioning). Training is
+    driver-side numpy over ≤ sample_size × dim floats — O(MBs) however
+    large the corpus — and fully deterministic for a given (seed, data):
+    seeded init, fixed iteration count, empty lists keep their previous
+    centroid. Returns (n_lists, dim) L2-normalized centroids."""
+    rows = (
+        corpus.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .withColumn("__o", F.xxhash64(F.col("__id").cast("string")))
+        .orderBy("__o", "__id")
+        .limit(int(sample_size))
+        .collect()
+    )
+    X = np.stack([np.asarray(r["__v"], dtype=np.float64) for r in rows])
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+    n_lists = min(int(n_lists), len(X))
+    rng = np.random.default_rng(int(seed))
+    C = X[rng.choice(len(X), size=n_lists, replace=False)].copy()
+    for _ in range(int(iters)):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            members = X[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-30)
+    return C
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    train_iters: int = 8,
+    seed: int = 42,
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) — the coarse-
+    quantizer scale path alongside :func:`lsh_ann_topk`:
+
+    1. train ``n_lists`` spherical-k-means centroids on a bounded
+       deterministic sample (driver numpy, broadcast after — tiny);
+    2. assign every corpus row to its nearest centroid's list (one
+       vectorized matmul-argmax per Arrow batch, map-side);
+    3. route each query to its ``n_probe`` nearest lists and join
+       candidates on list id — an EQUI-join whose cost is probed-list
+       occupancy (~``n_probe/n_lists`` of the corpus per query), never a
+       cross join;
+    4. exact cosine re-rank inside candidates (JVM ``F.aggregate`` dot),
+       distributed top-k via window rank.
+
+    At 100 TB: centroid training reads a bounded sample, assignment is
+    one map-side pass, and probe cost scales with list occupancy — the
+    IVF trade (recall vs n_probe) is the standard one [Jégou, Douze,
+    Schmid, "Product Quantization for Nearest Neighbor Search", PAMI'11
+    — the IVF coarse stage]. Deterministic for a given (seed, data).
+    Returns ``(query_id, neighbor_id, cosine, rank)``."""
+    qid_c = query_id_col or id_col
+    qvec_c = query_vec_col or vec_col
+    k_, np_ = int(k), int(n_probe)
+    C = _train_ivf_centroids(
+        corpus, id_col, vec_col, n_lists, train_sample, train_iters, seed
+    )
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    @F.pandas_udf("int")
+    def nearest_list(vecs: pd.Series) -> pd.Series:
+        C_l = bc.value
+        M = np.stack(vecs.map(np.asarray).to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        return pd.Series(np.argmax(M @ C_l.T, axis=1).astype(np.int32))
+
+    @F.pandas_udf("array<int>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        C_l = bc.value
+        M = np.stack(vecs.map(np.asarray).to_numpy()).astype(np.float64)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-30)
+        S = M @ C_l.T
+        npr = min(np_, S.shape[1])
+        idx = np.argsort(-S, axis=1)[:, :npr].astype(np.int32)
+        return pd.Series(list(idx))
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    ).withColumn("__list", nearest_list(F.col("__cv")))
+    q = queries.select(
+        F.col(qid_c).alias("__qid"), F.col(qvec_c).alias("__qv")
+    ).withColumn("__list", F.explode(probe_lists(F.col("__qv"))))
+    cand = (
+        q.join(c, "__list")
+        .where(F.col("__qid") != F.col("__cid"))
+        .select("__qid", "__qv", "__cid", "__cv")
+        .distinct()
+    )
+    nq = F.sqrt(F.aggregate("__qv", F.lit(0.0), lambda a, x: a + x * x))
+    nc = F.sqrt(F.aggregate("__cv", F.lit(0.0), lambda a, x: a + x * x))
+    dot = F.aggregate(
+        F.zip_with("__qv", "__cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = cand.withColumn("cosine", dot / (nq * nc))
+    w = Window.partitionBy("__qid").orderBy(F.desc("cosine"), F.asc("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k_)
+        .select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
