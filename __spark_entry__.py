@@ -478,6 +478,60 @@ def _q_cuckoo_partitioned_members(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_cuckoo_ops_log_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a deletable membership set (round 5):
+    a 3-generation ops log — inserts, more inserts, then a retraction
+    feed (the GDPR-purge shape) — folded into the DISTRIBUTED shard
+    table with ``cuckoo_apply_ops_df``, starting from an EMPTY state.
+    Each generation's output is materialized and fed to the next (the
+    versioned-state-table pattern); the final generation is probed with
+    the cogrouped partitioned probe. Output = exact surviving member set
+    (24-bit fingerprints → expected FP ≈ 0, deterministic)."""
+    from probabilistic_rs_spark.operators.cuckoo import (
+        cuckoo_apply_ops_df,
+        cuckoo_partitioned_probe,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    cap = customer.count()
+
+    def ops(pred, op):
+        return customer.where(pred).select(
+            F.lit(op).alias("op"), F.col("c_custkey").alias("key")
+        )
+
+    gens = [
+        ops(F.col("c_custkey") % 3 == 0, "insert"),
+        ops(F.col("c_custkey") % 3 == 1, "insert"),
+        ops(F.col("c_custkey") % 6 == 0, "delete"),
+    ]
+    states = None
+    persisted = []
+    try:
+        for g in gens:
+            states = cuckoo_apply_ops_df(
+                states, g, "key", capacity=cap, n_shards=8
+            ).persist()
+            states.count()  # materialize this generation before the next
+            persisted.append(states)
+        probes = customer.select(F.col("c_custkey").alias("custkey")).union(
+            customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
+        )
+        out = (
+            cuckoo_partitioned_probe(probes, "custkey", states)
+            .where(F.col("is_member"))
+            .select("custkey")
+            .distinct()
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for df in persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 def _q_tdigest_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantiles of l_extendedprice; verdict = rank error <= 0.01."""
     from probabilistic_rs_spark.operators.quantiles import approx_quantiles
@@ -1188,6 +1242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuckoo_members_after_delete": _q_cuckoo_members_after_delete,
         "native_cuckoo_members_after_delete": _q_native_cuckoo_members_after_delete,
         "cuckoo_partitioned_members": _q_cuckoo_partitioned_members,
+        "cuckoo_ops_log_members": _q_cuckoo_ops_log_members,
         "tdigest_price_quantile_bounds": _q_tdigest_price_bounds,
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
         "hll_reaggregate_states": _q_hll_reaggregate_states,
@@ -1283,6 +1338,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT c_custkey AS custkey FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
             "AND c_custkey % 3 != 0"
+        ),
+        "cuckoo_ops_log_members": (
+            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 6 != 0"
         ),
         "quotient_members_after_delete": (
             "SELECT DISTINCT c_custkey AS custkey FROM customer "

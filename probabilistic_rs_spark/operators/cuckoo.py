@@ -283,6 +283,92 @@ def cuckoo_partitioned_probe(
     )
 
 
+def cuckoo_apply_ops_df(
+    states_df: DataFrame | None,
+    ops_df: DataFrame,
+    item_col: str,
+    op_col: str = "op",
+    capacity: int = 1_000_000,
+    n_shards: int = 32,
+    fingerprint_bits: int = 24,
+    bucket_size: int = 4,
+    native: bool = False,
+) -> DataFrame:
+    """Fold one generation of an ops log — rows tagged ``'insert'`` or
+    ``'delete'`` in ``op_col`` — into the DISTRIBUTED shard table: the
+    incremental-maintenance primitive for a membership set that receives
+    both additions and retractions (the GDPR-purge / revoked-key feed).
+    Ops shuffle to their shard (8-byte hash + 1 tag per op); each shard
+    applies its slice locally — distinct-sorted inserts first, then
+    distinct-sorted deletes (deterministic within a generation) — and
+    shards that don't exist yet are CREATED on first insert, so the fold
+    can start from ``states_df=None`` (empty filter). Returns ``(shard,
+    state, n_items, n_shards)`` — the same shape
+    :func:`build_cuckoo_shards_df` emits, so generations chain:
+    write each generation's output to a versioned location and feed it
+    back for the next (plans are lazy — materialize between
+    generations). Probe any generation with
+    :func:`cuckoo_partitioned_probe`.
+
+    Within one generation the insert set and delete set are each
+    deduplicated, inserts apply before deletes, and a delete of a
+    never-present key is a no-op (up to the standard fingerprint-
+    collision hazard) — so a key both inserted and deleted in the SAME
+    generation ends up absent."""
+    if n_shards <= 0:
+        raise SketchConfigError("n_shards must be positive")
+    per_shard_cap, _ = _shard_geometry(capacity, n_shards, fingerprint_bits, bucket_size)
+    fb, bs, ns = int(fingerprint_bits), int(bucket_size), int(n_shards)
+    cls = NativeCuckooFilter if native else CuckooFilter
+    spark = ops_df.sparkSession
+    if states_df is None:
+        states_df = spark.createDataFrame([], _SHARD_SCHEMA)
+    else:
+        ns = _states_df_n_shards(states_df, ns)
+    h = F.xxhash64(F.col(item_col).cast("string"))
+    ops = ops_df.select(
+        h.alias("__h"),
+        F.pmod(h, F.lit(ns)).cast("int").alias("__shard"),
+        F.col(op_col).alias("__op"),
+    )
+
+    def apply_ops(state_pdf: pd.DataFrame, ops_pdf: pd.DataFrame) -> pd.DataFrame:
+        if state_pdf.empty and ops_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "shard": pd.Series([], dtype="int32"),
+                    "state": pd.Series([], dtype=object),
+                    "n_items": pd.Series([], dtype="int64"),
+                }
+            )
+        if state_pdf.empty:
+            shard = int(ops_pdf["__shard"].iloc[0])
+            cf = cls(per_shard_cap, fingerprint_bits=fb, bucket_size=bs)
+        else:
+            shard = int(state_pdf["shard"].iloc[0])
+            cf = _filter_from_bytes(bytes(state_pdf["state"].iloc[0]))
+        if not ops_pdf.empty:
+            hs = ops_pdf["__h"].to_numpy(dtype="int64").view(np.uint64)
+            is_ins = (ops_pdf["__op"] == "insert").to_numpy()
+            ins = np.unique(hs[is_ins])
+            dels = np.unique(hs[~is_ins])
+            if len(ins):
+                cf.insert_hashes(ins)
+            if len(dels):
+                cf.delete_hashes(dels)
+        return pd.DataFrame(
+            {"shard": [shard], "state": [cf.to_bytes()], "n_items": [int(cf.n_items)]}
+        )
+
+    out = (
+        states_df.select("shard", "state")
+        .groupby("shard")
+        .cogroup(ops.groupby("__shard"))
+        .applyInPandas(apply_ops, _SHARD_SCHEMA)
+    )
+    return out.withColumn("n_shards", F.lit(ns))
+
+
 def cuckoo_delete_df(
     states_df: DataFrame,
     delete_df: DataFrame,

@@ -143,6 +143,68 @@ class TestPartitionedFamily:
         assert out.count() == 2000  # every probe row answered
 
 
+class TestOpsLogFold:
+    def test_generations_fold_and_probe(self, spark):
+        from probabilistic_rs_spark.operators.cuckoo import cuckoo_apply_ops_df
+
+        def ops(lo, hi, op):
+            return spark.range(lo, hi).select(
+                F.lit(op).alias("op"), F.concat(F.lit("k"), F.col("id")).alias("key")
+            )
+
+        # gen 1: insert 0..9999 from an EMPTY state
+        g1 = cuckoo_apply_ops_df(
+            None, ops(0, 10_000, "insert"), "key", capacity=20_000, n_shards=8
+        ).cache()
+        assert g1.agg(F.sum("n_items")).head()[0] == 10_000
+        # gen 2: insert 10000..14999, delete every key ending in pattern
+        dels = ops(0, 10_000, "delete").where(F.xxhash64("key") % 4 == 0)
+        n_del = dels.count()
+        g2 = cuckoo_apply_ops_df(
+            g1, ops(10_000, 15_000, "insert").unionByName(dels), "key",
+            capacity=20_000, n_shards=8,
+        ).cache()
+        assert g2.agg(F.sum("n_items")).head()[0] == 15_000 - n_del
+        survivors = cuckoo_partitioned_probe(
+            _keys_df(spark, 15_000), "key", g2
+        ).where("is_member")
+        assert survivors.count() == 15_000 - n_del
+        gone = cuckoo_partitioned_probe(
+            dels.select("key"), "key", g2
+        ).where("is_member")
+        assert gone.count() == 0
+        g1.unpersist()
+        g2.unpersist()
+
+    def test_same_generation_insert_then_delete_absent(self, spark):
+        from probabilistic_rs_spark.operators.cuckoo import cuckoo_apply_ops_df
+
+        both = spark.range(100).select(
+            F.lit("insert").alias("op"), F.concat(F.lit("x"), F.col("id")).alias("key")
+        ).unionByName(
+            spark.range(50).select(
+                F.lit("delete").alias("op"), F.concat(F.lit("x"), F.col("id")).alias("key")
+            )
+        )
+        g = cuckoo_apply_ops_df(None, both, "key", capacity=1000, n_shards=4)
+        probes = spark.range(100).select(F.concat(F.lit("x"), F.col("id")).alias("key"))
+        members = cuckoo_partitioned_probe(probes, "key", g).where("is_member")
+        assert members.count() == 50  # ids 50..99 survive
+
+    def test_chains_with_build_output(self, spark):
+        from probabilistic_rs_spark.operators.cuckoo import cuckoo_apply_ops_df
+
+        keys = _keys_df(spark, 5000)
+        built = build_cuckoo_shards_df(keys, "key", capacity=10_000, n_shards=8).cache()
+        extra = spark.range(5000, 6000).select(
+            F.lit("insert").alias("op"), F.concat(F.lit("k"), F.col("id")).alias("key")
+        )
+        g = cuckoo_apply_ops_df(built, extra, "key", capacity=10_000, n_shards=8)
+        out = cuckoo_partitioned_probe(_keys_df(spark, 6000), "key", g)
+        assert out.where("is_member").count() == 6000
+        built.unpersist()
+
+
 class TestWireTagDispatch:
     def test_dispatch_by_tag_not_message(self, spark):
         from probabilistic_rs_spark.sketches.cuckoo import (
