@@ -63,6 +63,29 @@ class TestScanHygiene:
         plan = _executed(simhash_pairs(docs, "doc_id", "text", max_hamming=4))
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
+    def test_partitioned_probe_shuffles_keys_not_states_everywhere(self, spark):
+        """The non-broadcast membership path (round 5): the plan must
+        contain NO broadcast exchange (states never fan out to every
+        task) and NO cartesian product — both sides hash-shuffle on the
+        shard key into the cogroup (FlatMapCoGroups...)."""
+        from probabilistic_rs_spark.operators.cuckoo import (
+            build_cuckoo_shards_df,
+            cuckoo_partitioned_probe,
+        )
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        states = build_cuckoo_shards_df(orders, "o_custkey", capacity=50_000, n_shards=8)
+        probed = cuckoo_partitioned_probe(
+            orders.select("o_custkey"), "o_custkey", states, n_shards=8
+        )
+        plan = _executed(probed)
+        assert "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert "CoGroup" in plan  # cogrouped shard join, not a row join
+        # both sides reach the cogroup through hash partitioning on the
+        # shard key (an Exchange each) — the only exchanges in the plan
+        assert plan.count("Exchange hashpartitioning") >= 2
+
     def test_global_sample_uses_distributed_topk(self, spark):
         from probabilistic_rs_spark.operators.sampling import hash_reservoir_sample
 
