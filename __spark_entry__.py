@@ -532,6 +532,59 @@ def _q_cuckoo_ops_log_members(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pass
 
 
+def _q_quotient_ops_log_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ops-log fold on the quotient family (round 5): same
+    3-generation insert/insert/retract feed as ``cuckoo_ops_log_members``
+    but folded into the prefix-sharded quotient table
+    (``quotient_apply_ops_df``) — set-style remove-all deletes, shards
+    created on first insert, bit-identical-fold property preserved across
+    generations. fpr 1e-8 → exact surviving member set."""
+    from probabilistic_rs_spark.operators.quotient import (
+        quotient_apply_ops_df,
+        quotient_partitioned_probe,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    cap = customer.count()
+
+    def ops(pred, op):
+        return customer.where(pred).select(
+            F.lit(op).alias("op"), F.col("c_custkey").alias("key")
+        )
+
+    gens = [
+        ops(F.col("c_custkey") % 3 == 0, "insert"),
+        ops(F.col("c_custkey") % 3 == 1, "insert"),
+        ops(F.col("c_custkey") % 6 == 0, "delete"),
+    ]
+    states = None
+    persisted = []
+    try:
+        for g in gens:
+            states = quotient_apply_ops_df(
+                states, g, "key", capacity=cap, false_positive_rate=1e-8,
+                shard_bits=3,
+            ).persist()
+            states.count()
+            persisted.append(states)
+        probes = customer.select(F.col("c_custkey").alias("custkey")).union(
+            customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
+        )
+        out = (
+            quotient_partitioned_probe(probes, "custkey", states)
+            .where(F.col("is_member"))
+            .select("custkey")
+            .distinct()
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for df in persisted:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
 def _q_tdigest_price_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t-digest quantiles of l_extendedprice; verdict = rank error <= 0.01."""
     from probabilistic_rs_spark.operators.quantiles import approx_quantiles
@@ -1243,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_cuckoo_members_after_delete": _q_native_cuckoo_members_after_delete,
         "cuckoo_partitioned_members": _q_cuckoo_partitioned_members,
         "cuckoo_ops_log_members": _q_cuckoo_ops_log_members,
+        "quotient_ops_log_members": _q_quotient_ops_log_members,
         "tdigest_price_quantile_bounds": _q_tdigest_price_bounds,
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
         "hll_reaggregate_states": _q_hll_reaggregate_states,
@@ -1340,6 +1394,10 @@ def oracle_sql() -> dict[str, str]:
             "AND c_custkey % 3 != 0"
         ),
         "cuckoo_ops_log_members": (
+            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 6 != 0"
+        ),
+        "quotient_ops_log_members": (
             "SELECT DISTINCT c_custkey AS custkey FROM customer "
             "WHERE c_custkey % 3 IN (0, 1) AND c_custkey % 6 != 0"
         ),

@@ -12,8 +12,15 @@ the reference ships Bloom first and lists cuckoo as planned,
   order are pure functions of the key hash — the same table bytes come
   out under any partitioning.
 * **probe / delete routing**: the shard id is recomputed from the same
-  hash, so probes are map-side against a broadcast list of shard states
-  and deletes are per-shard batch calls.
+  hash. Two physical layouts share one logical filter:
+  **broadcast** (``build_cuckoo_shards`` → ``cuckoo_probe`` /
+  ``native_cuckoo_probe``) — map-side against a broadcast shard list,
+  zero exchanges, byte-budget-guarded; and **partitioned**
+  (``build_cuckoo_shards_df`` → ``cuckoo_partitioned_probe`` /
+  ``cuckoo_delete_df`` / ``cuckoo_apply_ops_df``) — states stay a
+  distributed table and probe/delete/ops keys SHUFFLE to their shard via
+  cogroup, per-task memory one shard + one slice, for filters too large
+  to broadcast.
 * scale: shards bound per-task build memory AND parallelize the one
   sequential kernel — 1000 shards build a 10⁹-key filter as 1000
   independent ~10⁶-key tasks (~6 s each at the measured 160k inserts/s).

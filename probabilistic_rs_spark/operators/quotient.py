@@ -403,6 +403,80 @@ def quotient_delete_df(
     return out.withColumn("n_shards", F.lit(1 << s))
 
 
+def quotient_apply_ops_df(
+    states_df: DataFrame | None,
+    ops_df: DataFrame,
+    item_col: str,
+    op_col: str = "op",
+    capacity: int = 1_000_000,
+    false_positive_rate: float = 0.01,
+    shard_bits: int = 5,
+) -> DataFrame:
+    """Fold one generation of an insert/delete ops log into the
+    distributed quotient shard table — ``cuckoo_apply_ops_df``'s sibling
+    for the prefix-sharded family. Ops shuffle to their fingerprint-
+    prefix shard; per shard, distinct inserts apply first, then set-style
+    remove-all deletes (a key both inserted and deleted in one
+    generation nets to absent). Shards are created on first insert, so
+    the fold starts from ``states_df=None``; every shard uses the global
+    ``(capacity, fpr)`` so the bit-identical-fold property of
+    :func:`build_quotient_shards_df` is preserved across generations.
+    Returns the same ``(shard, state, n_items, n_shards)`` shape —
+    materialize each generation before feeding it to the next."""
+    if states_df is not None:
+        s = _qstates_shard_bits(states_df, None)
+    else:
+        if not (1 <= int(shard_bits) <= 20):
+            raise SketchConfigError("shard_bits must be in 1..=20")
+        s = int(shard_bits)
+    cap, fpr = int(capacity), float(false_positive_rate)
+    spark = ops_df.sparkSession
+    if states_df is None:
+        states_df = spark.createDataFrame([], _QSHARD_SCHEMA)
+    h = F.xxhash64(F.col(item_col).cast("string"))
+    ops = ops_df.select(
+        h.alias("__h"),
+        F.call_function("shiftrightunsigned", h, F.lit(64 - s)).cast("int").alias("__shard"),
+        F.col(op_col).alias("__op"),
+    )
+
+    def apply_ops(state_pdf: pd.DataFrame, ops_pdf: pd.DataFrame) -> pd.DataFrame:
+        if state_pdf.empty and ops_pdf.empty:
+            return pd.DataFrame(
+                {
+                    "shard": pd.Series([], dtype="int32"),
+                    "state": pd.Series([], dtype=object),
+                    "n_items": pd.Series([], dtype="int64"),
+                }
+            )
+        if state_pdf.empty:
+            shard = int(ops_pdf["__shard"].iloc[0])
+            sk = QuotientFilter(cap, fpr, max_state_bytes=None)
+        else:
+            shard = int(state_pdf["shard"].iloc[0])
+            sk = QuotientFilter.from_bytes(bytes(state_pdf["state"].iloc[0]))
+        if not ops_pdf.empty:
+            hs = ops_pdf["__h"].to_numpy(dtype="int64").view(np.uint64)
+            is_ins = (ops_pdf["__op"] == "insert").to_numpy()
+            ins = np.unique(hs[is_ins])
+            dels = np.unique(hs[~is_ins])
+            if len(ins):
+                sk.update_hashes(ins)
+            if len(dels):
+                sk.remove_all(np.unique(sk._fingerprints(dels)))
+        return pd.DataFrame(
+            {"shard": [shard], "state": [sk.to_bytes()], "n_items": [int(sk.n_items)]}
+        )
+
+    out = (
+        states_df.select("shard", "state")
+        .groupby("shard")
+        .cogroup(ops.groupby("__shard"))
+        .applyInPandas(apply_ops, _QSHARD_SCHEMA)
+    )
+    return out.withColumn("n_shards", F.lit(1 << s))
+
+
 def quotient_delete(
     state: bytes,
     delete_df: DataFrame,

@@ -271,6 +271,34 @@ class TestPartitionedFamily:
         doomed.unpersist()
         new_sdf.unpersist()
 
+    def test_ops_log_fold_generations(self, spark):
+        from probabilistic_rs_spark.operators.quotient import (
+            quotient_apply_ops_df,
+            quotient_partitioned_probe,
+        )
+
+        def ops(lo, hi, op):
+            return spark.range(lo, hi).select(
+                F.lit(op).alias("op"), F.concat(F.lit("q"), F.col("id")).alias("k")
+            )
+
+        g1 = quotient_apply_ops_df(
+            None, ops(0, 8000, "insert"), "k",
+            capacity=20_000, false_positive_rate=1e-8, shard_bits=3,
+        ).cache()
+        assert g1.agg(F.sum("n_items")).head()[0] == 8000
+        dels = ops(0, 8000, "delete").where(F.xxhash64("k") % 4 == 0)
+        n_del = dels.count()
+        g2 = quotient_apply_ops_df(
+            g1, ops(8000, 12_000, "insert").unionByName(dels), "k"
+        ).cache()
+        assert g2.agg(F.sum("n_items")).head()[0] == 12_000 - n_del
+        probes = spark.range(12_000).select(F.concat(F.lit("q"), F.col("id")).alias("k"))
+        got = quotient_partitioned_probe(probes, "k", g2).where("is_member").count()
+        assert got == 12_000 - n_del  # fpr 1e-8: exact, deterministic
+        g1.unpersist()
+        g2.unpersist()
+
     def test_routing_validation(self, spark, built):
         from probabilistic_rs_spark.errors import SketchConfigError
         from probabilistic_rs_spark.operators.quotient import (
