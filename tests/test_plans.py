@@ -86,6 +86,24 @@ class TestScanHygiene:
         # shard key (an Exchange each) — the only exchanges in the plan
         assert plan.count("Exchange hashpartitioning") >= 2
 
+    def test_quotient_partitioned_probe_same_plan_shape(self, spark):
+        from probabilistic_rs_spark.operators.quotient import (
+            build_quotient_shards_df,
+            quotient_partitioned_probe,
+        )
+
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        states = build_quotient_shards_df(
+            orders, "o_custkey", capacity=50_000, shard_bits=3
+        )
+        probed = quotient_partitioned_probe(
+            orders.select("o_custkey"), "o_custkey", states, n_shards=8
+        )
+        plan = _executed(probed)
+        assert "BroadcastExchange" not in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert "CoGroup" in plan
+
     def test_global_sample_uses_distributed_topk(self, spark):
         from probabilistic_rs_spark.operators.sampling import hash_reservoir_sample
 
