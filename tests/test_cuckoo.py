@@ -44,6 +44,34 @@ class TestCore:
         assert cf.contains_hashes(doomed).mean() < 1e-3  # fp-collision residue only
         assert cf.n_items == len(keep)
 
+    def test_incremental_insert_into_holey_table_no_clobber(self):
+        """Round-5 generalized bulk path: inserts into a table with
+        mid-bucket holes (from deletions) reuse the holes, never clobber
+        occupants, and stay deterministic."""
+        rng = np.random.default_rng(9)
+        h = np.unique(rng.integers(1, 2**63, 60_000).astype(np.uint64))
+        cf = CuckooFilter(capacity=100_000)
+        cf.insert_hashes(h)
+        dels = h[::3]
+        cf.delete_hashes(dels)
+        n_mid = cf.n_items
+        new = np.setdiff1d(
+            np.unique(rng.integers(1, 2**63, 20_000).astype(np.uint64)), h
+        )
+        cf.insert_hashes(new)
+        keep = np.setdiff1d(h, dels)
+        assert cf.contains_hashes(keep).all()
+        assert cf.contains_hashes(new).all()
+        assert cf.n_items == n_mid + len(new)
+        # every fingerprint accounted for: occupied slots == item count
+        assert int((cf.table != 0).sum()) == cf.n_items
+        # deterministic: same op sequence -> bit-identical state
+        cf2 = CuckooFilter(capacity=100_000)
+        cf2.insert_hashes(h)
+        cf2.delete_hashes(dels)
+        cf2.insert_hashes(new)
+        assert cf2.to_bytes() == cf.to_bytes()
+
     def test_build_deterministic_over_sorted_input(self):
         rng = np.random.default_rng(6)
         h = np.unique(rng.integers(1, 2**63, 20_000).astype(np.uint64))
