@@ -509,8 +509,12 @@ def _q_cuckoo_ops_log_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted = []
     try:
         for g in gens:
+            # n_shards only picks geometry for the empty-state first fold;
+            # later generations read the states' self-describing column
+            # (round 6: the old default-32 short-circuit misrouted here)
             states = cuckoo_apply_ops_df(
-                states, g, "key", capacity=cap, n_shards=8
+                states, g, "key", capacity=cap,
+                n_shards=8 if states is None else None,
             ).persist()
             states.count()  # materialize this generation before the next
             persisted.append(states)
@@ -563,7 +567,7 @@ def _q_quotient_ops_log_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         for g in gens:
             states = quotient_apply_ops_df(
                 states, g, "key", capacity=cap, false_positive_rate=1e-8,
-                shard_bits=3,
+                shard_bits=3 if states is None else None,
             ).persist()
             states.count()
             persisted.append(states)

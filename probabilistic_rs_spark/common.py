@@ -50,6 +50,33 @@ def lru_evict(cache: dict, max_entries: int, release=None) -> None:
                 pass
 
 
+def op_masks(ops):
+    """Validate an ops-log tag series (the ``op_col`` of
+    ``cuckoo_apply_ops_df`` / ``quotient_apply_ops_df``) and return
+    ``(is_insert, is_delete)`` boolean numpy masks. Any tag that is not
+    exactly ``'insert'`` or ``'delete'`` — a typo, a case difference, a
+    null — raises ``SketchConfigError`` instead of silently becoming a
+    collision-hazard delete (ADVICE r5: ``dels = hs[~is_ins]`` treated
+    every non-insert as a delete)."""
+    import numpy as np
+
+    from probabilistic_rs_spark.errors import SketchConfigError
+
+    vals = ops.to_numpy()
+    is_ins = vals == "insert"
+    is_del = vals == "delete"
+    bad = ~(is_ins | is_del)
+    if bad.any():
+        sample = [repr(v) for v in vals[bad][:3]]
+        raise SketchConfigError(
+            f"ops log contains {int(bad.sum())} row(s) with op tags other "
+            f"than 'insert'/'delete' (e.g. {', '.join(sample)}) — refusing "
+            "to guess (an unknown tag applied as a delete is a silent "
+            "collision-hazard retraction)"
+        )
+    return is_ins, is_del
+
+
 def bits2hr(n_bits: int) -> str:
     b = n_bits / 8.0
     if b < _KB:

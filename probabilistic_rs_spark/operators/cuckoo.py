@@ -44,7 +44,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from probabilistic_rs_spark.common import lru_evict
+from probabilistic_rs_spark.common import lru_evict, op_masks as _op_masks
 from probabilistic_rs_spark.errors import SketchConfigError
 from probabilistic_rs_spark.sketches.base import TYPE_CUCKOO, TYPE_NCUCKOO, peek_type
 from probabilistic_rs_spark.sketches.cuckoo import CuckooFilter, NativeCuckooFilter
@@ -296,7 +296,7 @@ def cuckoo_apply_ops_df(
     item_col: str,
     op_col: str = "op",
     capacity: int = 1_000_000,
-    n_shards: int = 32,
+    n_shards: int | None = None,
     fingerprint_bits: int = 24,
     bucket_size: int = 4,
     native: bool = False,
@@ -321,17 +321,43 @@ def cuckoo_apply_ops_df(
     deduplicated, inserts apply before deletes, and a delete of a
     never-present key is a no-op (up to the standard fingerprint-
     collision hazard) — so a key both inserted and deleted in the SAME
-    generation ends up absent."""
-    if n_shards <= 0:
-        raise SketchConfigError("n_shards must be positive")
-    per_shard_cap, _ = _shard_geometry(capacity, n_shards, fingerprint_bits, bucket_size)
-    fb, bs, ns = int(fingerprint_bits), int(bucket_size), int(n_shards)
+    generation ends up absent. Inserts are idempotent ACROSS generations
+    too: hashes whose fingerprint is already present in the shard are
+    dropped before placement, so re-inserting a key in a later
+    generation neither stores a second copy (which one delete would then
+    fail to purge — the GDPR hazard) nor burns table slots. This mirrors
+    the quotient sibling's set semantics; the cost of the hazard-free
+    behavior is that a fingerprint COLLISION between two distinct keys
+    collapses to one stored copy, so deleting either removes both — the
+    same ≤FPR deletion hazard every cuckoo delete already carries.
+
+    ``n_shards``: when ``states_df`` is given the modulus is read from
+    its self-describing ``n_shards`` column; passing a conflicting value
+    raises (a mismatched modulus would silently misroute ops). It is only
+    consulted as a geometry choice when starting from ``states_df=None``
+    (default 32).
+
+    Rows whose ``op_col`` is anything other than exactly ``'insert'`` or
+    ``'delete'`` (including null) raise ``SketchConfigError`` — a typo'd
+    tag must not silently become a collision-hazard delete."""
+    if states_df is not None:
+        ns = _states_df_n_shards(states_df, None)
+        if n_shards is not None and int(n_shards) != ns:
+            raise SketchConfigError(
+                f"n_shards={int(n_shards)} conflicts with the states_df "
+                f"n_shards column ({ns}) — omit the parameter (the states "
+                "are self-describing) or pass the matching value"
+            )
+    else:
+        ns = 32 if n_shards is None else int(n_shards)
+        if ns <= 0:
+            raise SketchConfigError("n_shards must be positive")
+    per_shard_cap, _ = _shard_geometry(capacity, ns, fingerprint_bits, bucket_size)
+    fb, bs = int(fingerprint_bits), int(bucket_size)
     cls = NativeCuckooFilter if native else CuckooFilter
     spark = ops_df.sparkSession
     if states_df is None:
         states_df = spark.createDataFrame([], _SHARD_SCHEMA)
-    else:
-        ns = _states_df_n_shards(states_df, ns)
     h = F.xxhash64(F.col(item_col).cast("string"))
     ops = ops_df.select(
         h.alias("__h"),
@@ -356,9 +382,13 @@ def cuckoo_apply_ops_df(
             cf = _filter_from_bytes(bytes(state_pdf["state"].iloc[0]))
         if not ops_pdf.empty:
             hs = ops_pdf["__h"].to_numpy(dtype="int64").view(np.uint64)
-            is_ins = (ops_pdf["__op"] == "insert").to_numpy()
+            is_ins, is_del = _op_masks(ops_pdf["__op"])
             ins = np.unique(hs[is_ins])
-            dels = np.unique(hs[~is_ins])
+            if len(ins):
+                # cross-generation idempotency: drop hashes whose
+                # fingerprint the shard already holds (see docstring)
+                ins = ins[~cf.contains_hashes(ins)]
+            dels = np.unique(hs[is_del])
             if len(ins):
                 cf.insert_hashes(ins)
             if len(dels):

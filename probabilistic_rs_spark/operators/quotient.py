@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
-from probabilistic_rs_spark.common import state_key
+from probabilistic_rs_spark.common import op_masks as _op_masks, state_key
 from probabilistic_rs_spark.errors import SketchConfigError
 from probabilistic_rs_spark.operators.sketch_agg import (
     SketchSpec,
@@ -410,25 +410,41 @@ def quotient_apply_ops_df(
     op_col: str = "op",
     capacity: int = 1_000_000,
     false_positive_rate: float = 0.01,
-    shard_bits: int = 5,
+    shard_bits: int | None = None,
 ) -> DataFrame:
     """Fold one generation of an insert/delete ops log into the
     distributed quotient shard table — ``cuckoo_apply_ops_df``'s sibling
     for the prefix-sharded family. Ops shuffle to their fingerprint-
     prefix shard; per shard, distinct inserts apply first, then set-style
     remove-all deletes (a key both inserted and deleted in one
-    generation nets to absent). Shards are created on first insert, so
+    generation nets to absent). Inserts are idempotent ACROSS generations
+    as well — hashes whose fingerprint the shard already holds are
+    dropped, so re-inserts never grow the sorted run (matching the cuckoo
+    fold's semantics). Shards are created on first insert, so
     the fold starts from ``states_df=None``; every shard uses the global
     ``(capacity, fpr)`` so the bit-identical-fold property of
     :func:`build_quotient_shards_df` is preserved across generations.
     Returns the same ``(shard, state, n_items, n_shards)`` shape —
-    materialize each generation before feeding it to the next."""
+    materialize each generation before feeding it to the next.
+
+    ``shard_bits``: read from the states' self-describing ``n_shards``
+    column when ``states_df`` is given (an explicitly-passed conflicting
+    value raises — a mismatched prefix width would silently misroute
+    ops); only consulted as a geometry choice when starting from
+    ``states_df=None`` (default 5). Op tags other than exactly
+    ``'insert'``/``'delete'`` raise ``SketchConfigError``."""
     if states_df is not None:
         s = _qstates_shard_bits(states_df, None)
+        if shard_bits is not None and int(shard_bits) != s:
+            raise SketchConfigError(
+                f"shard_bits={int(shard_bits)} conflicts with the states_df "
+                f"n_shards column (2^{s} shards) — omit the parameter (the "
+                "states are self-describing) or pass the matching value"
+            )
     else:
-        if not (1 <= int(shard_bits) <= 20):
+        s = 5 if shard_bits is None else int(shard_bits)
+        if not (1 <= s <= 20):
             raise SketchConfigError("shard_bits must be in 1..=20")
-        s = int(shard_bits)
     cap, fpr = int(capacity), float(false_positive_rate)
     spark = ops_df.sparkSession
     if states_df is None:
@@ -457,9 +473,13 @@ def quotient_apply_ops_df(
             sk = QuotientFilter.from_bytes(bytes(state_pdf["state"].iloc[0]))
         if not ops_pdf.empty:
             hs = ops_pdf["__h"].to_numpy(dtype="int64").view(np.uint64)
-            is_ins = (ops_pdf["__op"] == "insert").to_numpy()
+            is_ins, is_del = _op_masks(ops_pdf["__op"])
             ins = np.unique(hs[is_ins])
-            dels = np.unique(hs[~is_ins])
+            if len(ins):
+                # cross-generation idempotency (matches the cuckoo fold):
+                # re-inserted keys don't grow the sorted run
+                ins = ins[~sk.contains_hashes(ins)]
+            dels = np.unique(hs[is_del])
             if len(ins):
                 sk.update_hashes(ins)
             if len(dels):

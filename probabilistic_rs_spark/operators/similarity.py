@@ -204,18 +204,22 @@ def ivf_ann_topk(
         idx = np.argsort(-S, axis=1)[:, :npr].astype(np.int32)
         return pd.Series(list(idx))
 
-    c = corpus.select(
-        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
-    ).withColumn("__list", nearest_list(F.col("__cv")))
-    q = queries.select(
-        F.col(qid_c).alias("__qid"), F.col(qvec_c).alias("__qv")
-    ).withColumn("__list", F.explode(probe_lists(F.col("__qv"))))
-    cand = (
+    c0 = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    q0 = queries.select(F.col(qid_c).alias("__qid"), F.col(qvec_c).alias("__qv"))
+    c = c0.withColumn("__list", nearest_list(F.col("__cv"))).select("__cid", "__list")
+    q = q0.withColumn("__list", F.explode(probe_lists(F.col("__qv")))).select(
+        "__qid", "__list"
+    )
+    # dedup candidates on (query, corpus) IDS ONLY — 16 bytes/pair through
+    # the distinct shuffle instead of two full vectors (VERDICT r5 #7) —
+    # then re-attach each vector once via equi-joins
+    pairs = (
         q.join(c, "__list")
         .where(F.col("__qid") != F.col("__cid"))
-        .select("__qid", "__qv", "__cid", "__cv")
+        .select("__qid", "__cid")
         .distinct()
     )
+    cand = pairs.join(q0, "__qid").join(c0, "__cid")
     nq = F.sqrt(F.aggregate("__qv", F.lit(0.0), lambda a, x: a + x * x))
     nc = F.sqrt(F.aggregate("__cv", F.lit(0.0), lambda a, x: a + x * x))
     dot = F.aggregate(
@@ -277,18 +281,19 @@ def lsh_ann_topk(
 
         return df.withColumn("__bkts", buckets(F.col(vcol)))
 
-    c = add_buckets(corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")), "__cv")
-    q = add_buckets(
-        queries.select(F.col(qid_c).alias("__qid"), F.col(qvec_c).alias("__qv")), "__qv"
-    )
-    ce = c.select("__cid", "__cv", F.explode("__bkts").alias("__bkt"))
-    qe = q.select("__qid", "__qv", F.explode("__bkts").alias("__bkt"))
-    cand = (
+    c0 = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    q0 = queries.select(F.col(qid_c).alias("__qid"), F.col(qvec_c).alias("__qv"))
+    ce = add_buckets(c0, "__cv").select("__cid", F.explode("__bkts").alias("__bkt"))
+    qe = add_buckets(q0, "__qv").select("__qid", F.explode("__bkts").alias("__bkt"))
+    # id-only candidate dedup (union over tables collides the same pair
+    # up to `tables` times) — vectors re-attach once after the distinct
+    pairs = (
         qe.join(ce, "__bkt")
         .where(F.col("__qid") != F.col("__cid"))
-        .select("__qid", "__qv", "__cid", "__cv")
+        .select("__qid", "__cid")
         .distinct()
     )
+    cand = pairs.join(q0, "__qid").join(c0, "__cid")
     nq = F.sqrt(F.aggregate("__qv", F.lit(0.0), lambda a, x: a + x * x))
     nc = F.sqrt(F.aggregate("__cv", F.lit(0.0), lambda a, x: a + x * x))
     dot = F.aggregate(F.zip_with("__qv", "__cv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)

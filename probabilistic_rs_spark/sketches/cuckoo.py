@@ -182,7 +182,6 @@ class CuckooFilter:
         bucket's actual zero slots (via :meth:`_free_slot_map`), never
         clobbering occupants. Returns the (arrival-ordered) indices of
         items needing the displacement loop."""
-        b = self.bucket_size
         # phase A: home buckets. Stable sort by bucket keeps arrival order
         # within each bucket; rank-in-group < free wins that bucket's holes.
         holes, free = self._free_slot_map()

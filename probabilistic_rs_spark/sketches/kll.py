@@ -137,7 +137,11 @@ class KLLSketch:
         inverse of :meth:`quantile`, one ``searchsorted`` over the
         weighted sorted retained items (the same estimator as
         :meth:`rank`, normalized by total weight; compaction preserves
-        total weight = n). NaN for an empty sketch."""
+        total weight = n). NaN for an empty sketch; NaN inputs map to
+        NaN (→ null through the pandas probe) rather than silently
+        sorting past the last item as cdf=1.0 — keeps :func:`kll_cdf_probe`
+        and :func:`native_kll_cdf_probe` interchangeable on null input
+        and matches the t-digest family (``np.interp`` propagates NaN)."""
         values = np.asarray(values, dtype=np.float64)
         items, weights = self._weighted_sorted()
         if len(items) == 0:
@@ -146,7 +150,7 @@ class KLLSketch:
         total = cum[-1]
         idx = np.searchsorted(items, values, side="right")
         ranks = np.where(idx > 0, cum[np.maximum(idx - 1, 0)], 0)
-        return ranks / float(total)
+        return np.where(np.isnan(values), np.nan, ranks / float(total))
 
     @property
     def item_min(self) -> float:

@@ -205,6 +205,71 @@ class TestOpsLogFold:
         built.unpersist()
 
 
+class TestFoldShardModulus:
+    """VERDICT r5 #1 / ADVICE r5: the fold must read the states' own
+    n_shards column when the parameter is omitted (the old default-32
+    short-circuit silently misrouted every op on a non-32-shard table),
+    raise on an explicit conflict, validate op tags, and apply inserts
+    idempotently across generations."""
+
+    def _ops(self, spark, lo, hi, op, prefix="k"):
+        return spark.range(lo, hi).select(
+            F.lit(op).alias("op"),
+            F.concat(F.lit(prefix), F.col("id")).alias("key"),
+        )
+
+    def test_fold_with_defaults_reads_states_modulus(self, spark):
+        from probabilistic_rs_spark.operators.cuckoo import cuckoo_apply_ops_df
+
+        # the exact latent-bug scenario: 64-shard table, fold with DEFAULTS
+        built = build_cuckoo_shards_df(
+            _keys_df(spark, 4000), "key", capacity=8000, n_shards=64
+        ).cache()
+        g = cuckoo_apply_ops_df(built, self._ops(spark, 4000, 5000, "insert"), "key").cache()
+        assert g.agg(F.max("n_shards")).head()[0] == 64  # modulus preserved
+        members = cuckoo_partitioned_probe(_keys_df(spark, 5000), "key", g)
+        assert members.where("is_member").count() == 5000  # upper shards intact
+        built.unpersist()
+        g.unpersist()
+
+    def test_fold_conflicting_n_shards_raises(self, spark):
+        from probabilistic_rs_spark.operators.cuckoo import cuckoo_apply_ops_df
+
+        built = build_cuckoo_shards_df(
+            _keys_df(spark, 1000), "key", capacity=4000, n_shards=64
+        )
+        with pytest.raises(SketchConfigError, match="conflicts"):
+            cuckoo_apply_ops_df(
+                built, self._ops(spark, 0, 10, "insert"), "key", n_shards=32
+            )
+
+    def test_cross_generation_reinsert_idempotent_then_purged(self, spark):
+        from probabilistic_rs_spark.operators.cuckoo import cuckoo_apply_ops_df
+
+        # ADVICE r5 medium: re-insert in a later generation must not store
+        # a second fingerprint copy that one delete would fail to purge
+        g1 = cuckoo_apply_ops_df(
+            None, self._ops(spark, 0, 100, "insert"), "key", capacity=1000, n_shards=4
+        ).cache()
+        g2 = cuckoo_apply_ops_df(g1, self._ops(spark, 0, 50, "insert"), "key").cache()
+        assert g2.agg(F.sum("n_items")).head()[0] == 100  # no duplicate copies
+        g3 = cuckoo_apply_ops_df(g2, self._ops(spark, 0, 50, "delete"), "key").cache()
+        members = cuckoo_partitioned_probe(_keys_df(spark, 100), "key", g3)
+        assert members.where("is_member").count() == 50  # single delete purged
+        for df in (g1, g2, g3):
+            df.unpersist()
+
+    def test_unknown_op_tag_raises(self, spark):
+        from probabilistic_rs_spark.operators.cuckoo import cuckoo_apply_ops_df
+
+        bad = self._ops(spark, 0, 10, "insert").unionByName(
+            self._ops(spark, 10, 12, "upsert")
+        )
+        g = cuckoo_apply_ops_df(None, bad, "key", capacity=1000, n_shards=4)
+        with pytest.raises(Exception, match="op tags other than"):
+            g.count()
+
+
 class TestWireTagDispatch:
     def test_dispatch_by_tag_not_message(self, spark):
         from probabilistic_rs_spark.sketches.cuckoo import (

@@ -66,6 +66,15 @@ class TestKllCdf:
         assert by_v[sk.item_min - 100.0] == 0.0
         assert by_v[sk.item_max + 100.0] == 1.0
 
+    def test_pandas_probe_null_agrees_with_native(self, spark, values_and_state):
+        # ADVICE r5: the pandas kernel used to map null → cdf=1.0 (NaN
+        # sorts past the last item); both probes must return null on null
+        _, _, state = values_and_state
+        probes = spark.createDataFrame([(None,), (50.0,)], "v double")
+        got = {r["v"]: r["cdf"] for r in kll_cdf_probe(probes, "v", state).collect()}
+        assert got[None] is None
+        assert got[50.0] is not None
+
     def test_empty_and_degenerate_states(self, spark):
         empty = KLLSketch(k=200).to_bytes()
         one = KLLSketch(k=200)

@@ -299,6 +299,38 @@ class TestPartitionedFamily:
         g1.unpersist()
         g2.unpersist()
 
+    def test_ops_fold_defaults_conflict_and_idempotency(self, spark):
+        from probabilistic_rs_spark.operators.quotient import (
+            quotient_apply_ops_df,
+            quotient_partitioned_probe,
+        )
+
+        def ops(lo, hi, op):
+            return spark.range(lo, hi).select(
+                F.lit(op).alias("op"), F.concat(F.lit("q"), F.col("id")).alias("k")
+            )
+
+        g1 = quotient_apply_ops_df(
+            None, ops(0, 100, "insert"), "k",
+            capacity=1000, false_positive_rate=1e-8, shard_bits=3,
+        ).cache()
+        # explicit conflicting width raises instead of misrouting
+        with pytest.raises(SketchConfigError, match="conflicts"):
+            quotient_apply_ops_df(g1, ops(100, 110, "insert"), "k", shard_bits=7)
+        # cross-generation re-insert is idempotent; one delete purges
+        g2 = quotient_apply_ops_df(g1, ops(0, 50, "insert"), "k").cache()
+        assert g2.agg(F.sum("n_items")).head()[0] == 100
+        g3 = quotient_apply_ops_df(g2, ops(0, 50, "delete"), "k").cache()
+        probes = spark.range(100).select(F.concat(F.lit("q"), F.col("id")).alias("k"))
+        assert quotient_partitioned_probe(probes, "k", g3).where("is_member").count() == 50
+        # unknown op tag is a loud error, never a collision-hazard delete
+        bad = ops(0, 5, "insert").unionByName(ops(5, 6, "Delete"))
+        g_bad = quotient_apply_ops_df(None, bad, "k", capacity=100, shard_bits=2)
+        with pytest.raises(Exception, match="op tags other than"):
+            g_bad.count()
+        for df in (g1, g2, g3):
+            df.unpersist()
+
     def test_routing_validation(self, spark, built):
         from probabilistic_rs_spark.errors import SketchConfigError
         from probabilistic_rs_spark.operators.quotient import (
