@@ -727,6 +727,37 @@ def _q_native_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> D
     )
 
 
+def _q_windowed_bloom_partitioned_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expiring-Bloom query on the PARTITIONED (non-broadcast) family
+    (round 6, VERDICT r5 #2): per-week level bit vectors are built
+    DIRECTLY into a distributed ``(level, block, words)`` table — no
+    whole-level state is ever materialized, no broadcast budget applies —
+    and the probe computes its KM positions JVM-side, shuffles bit tests
+    to their block, and recombines per-level AND / cross-level OR
+    (``windowed_bloom_partitioned_probe``). Same exact weekly oracle as
+    the broadcast twins: the 3 most recent weekly levels, tiny fpr, so
+    the approximate answer equals the exact one on this data."""
+    from probabilistic_rs_spark.operators.windowed_bloom import (
+        build_windowed_bloom_blocks_df,
+        windowed_bloom_partitioned_probe,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "bucket",
+        F.floor(F.datediff(F.to_date("ts"), F.lit("2024-01-01")) / F.lit(7)).cast("long"),
+    )
+    blocks = build_windowed_bloom_blocks_df(
+        ev, "bucket", "user_id",
+        capacity_per_level=100_000, target_fpr=0.0001, words_per_block=4096,
+    )
+    users = ev.select("user_id").distinct()
+    return (
+        windowed_bloom_partitioned_probe(users, "user_id", blocks, num_levels=3)
+        .where(F.col("is_member"))
+        .select("user_id")
+    )
+
+
 def _q_streaming_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING expiring Bloom (applyInPandasWithState, availableNow
     trigger over a file source) oracle-gated against the same exact weekly
@@ -1142,21 +1173,28 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN — the coarse-quantizer scale path next to
-    the LSH one (round 5): deterministic spherical k-means on a bounded
-    hash-ordered sample, map-side list assignment, candidates via an
-    equi-join on probed list ids, exact re-rank. Verdict = per-query
-    recall@5 vs the exact broadcast top-k ≥ 0.6. (The synthetic
-    embeddings are near-uniform — no cluster structure — so the probe
-    fraction must be generous here, n_probe 10/16 measures recall
-    0.8–1.0 per query; on real clustered embeddings the same operator
-    runs at a fraction of the probe cost. Fully deterministic for the
-    fixed seed, so the verdicts are stable.)"""
+    the LSH one (round 5; fixture upgraded round 6 per VERDICT r5 #4):
+    deterministic spherical k-means on a bounded hash-ordered sample,
+    map-side list assignment, candidates via an equi-join on probed list
+    ids, exact re-rank.
+
+    The corpus is the PLANTED-CLUSTER embeddings fixture
+    (``datagen.clustered_embeddings_df``: 16 unit centers, each vector a
+    small deterministic perturbation — in-cluster cosine ≈ 0.94 vs ≈ 0
+    cross-cluster, every value a pure function of (vec_id, seed)), so the
+    coarse quantizer's pruning is actually measurable: **n_probe = 4 of
+    16 lists (25 % of the corpus scanned per query)** with verdict =
+    per-query recall@5 vs the exact broadcast top-k ≥ 0.8. The driver's
+    own embeddings table stays covered by ``ann_cosine_topk`` and the
+    LSH near-dup queries. Fully deterministic for the fixed seed."""
+    from probabilistic_rs_spark.datagen import clustered_embeddings_df
     from probabilistic_rs_spark.operators.similarity import (
         cosine_topk,
         ivf_ann_topk,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = clustered_embeddings_df(spark, 2000, dim=32, n_clusters=16, seed=7)
+    emb = emb.select("vec_id", "embedding")
     qs = emb.where(F.col("vec_id") < 10)
     exact = {
         (r["query_id"], r["neighbor_id"])
@@ -1165,19 +1203,25 @@ def _q_ivf_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = {
         (r["query_id"], r["neighbor_id"])
         for r in ivf_ann_topk(
-            emb, qs, "vec_id", "embedding", k=5, n_lists=16, n_probe=10
+            emb, qs, "vec_id", "embedding", k=5, n_lists=16, n_probe=4
         ).collect()
     }
     hits: dict[int, int] = {}
     for q, n in exact:
         hits[int(q)] = hits.get(int(q), 0) + ((q, n) in approx)
-    data = [(q, bool(hits.get(q, 0) / 5.0 >= 0.6)) for q in range(10)]
+    data = [(q, bool(hits.get(q, 0) / 5.0 >= 0.8)) for q in range(10)]
     return spark.createDataFrame(data, "query_id bigint, recall_ok boolean")
 
 
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts, quality score, AND the rolling-hash document
+    fingerprint in one scan (round 6 consolidated the former standalone
+    ``doc_fingerprints`` query here — same operators, same oracle
+    coverage, one driver-graded slot: the driver records at most 50
+    queries). All pure-JVM expressions."""
     from probabilistic_rs_spark.functions.text import (
         bpe_ish_token_count,
+        doc_fingerprint,
         quality_score,
         whitespace_token_count,
     )
@@ -1187,6 +1231,7 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         whitespace_token_count("text").alias("n_tok"),
         bpe_ish_token_count("text").alias("n_bpe"),
         quality_score("text").alias("quality"),
+        doc_fingerprint("text").alias("fp"),
     )
 
 
@@ -1195,14 +1240,6 @@ def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _t(spark, sf_dir, "documents").select(
         "doc_id", lang_id("text").alias("pred_lang")
-    )
-
-
-def _q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from probabilistic_rs_spark.functions.text import doc_fingerprint
-
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", doc_fingerprint("text").alias("fp")
     )
 
 
@@ -1232,22 +1269,6 @@ def _q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return media_metadata(payload, "payload").select(
         "doc_id", "media_type", "n_bytes", "content_sha256"
-    )
-
-
-def _q_media_featurize_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from probabilistic_rs_spark.operators.multimodal import FEATURE_DIM, decode_and_featurize
-
-    payload = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.encode(F.concat(F.lit("<html><body>"), F.col("text")), "UTF-8").alias("payload"),
-    )
-    ft = decode_and_featurize(payload, "payload", ["doc_id"])
-    l1 = F.aggregate("features", F.lit(0.0), lambda a, x: a + x.cast("double"))
-    return ft.select(
-        "doc_id",
-        (F.size("features") == F.lit(FEATURE_DIM)).alias("dim_ok"),
-        (F.abs(l1 - F.lit(1.0)) < F.lit(1e-3)).alias("norm_ok"),
     )
 
 
@@ -1308,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "native_cms_probe_event_counts": _q_native_cms_probe_event_counts,
         "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
         "native_windowed_bloom_recent_users": _q_native_windowed_bloom_recent_users,
+        "windowed_bloom_partitioned_members": _q_windowed_bloom_partitioned_members,
         "streaming_windowed_bloom_recent_users": _q_streaming_windowed_bloom_recent_users,
         "streaming_native_windowed_probe": _q_streaming_native_windowed_probe,
         "streaming_windowed_hll_users": _q_streaming_windowed_hll_users,
@@ -1329,10 +1351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_recall": _q_ivf_ann_recall,
         "text_stats": _q_text_stats,
         "text_lang_id": _q_text_lang_id,
-        "doc_fingerprints": _q_doc_fingerprints,
         "curate_documents": _q_curate_documents,
         "media_metadata_html": _q_media_metadata,
-        "media_featurize_check": _q_media_featurize_check,
         "media_featurize_real": _q_media_featurize_real,
     }
 
@@ -1442,6 +1462,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM events)"
         ),
         "native_windowed_bloom_recent_users": (
+            "SELECT DISTINCT user_id FROM events "
+            "WHERE floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) >= "
+            "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "
+            "FROM events)"
+        ),
+        "windowed_bloom_partitioned_members": (
             "SELECT DISTINCT user_id FROM events "
             "WHERE floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7) >= "
             "(SELECT max(floor(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) / 7)) - 2 "
@@ -1565,24 +1591,18 @@ def oracle_sql() -> dict[str, str]:
             "  + 0.3 * (CASE WHEN "
             "      list_sum([length(x) FOR x IN string_split(text, ' ')])::DOUBLE "
             "        / greatest(len(string_split(text, ' ')), 1) BETWEEN 3.0 AND 8.0 "
-            "      THEN 1.0 ELSE 0.5 END), 6) AS quality "
-            "FROM documents"
-        ),
-        "text_lang_id": _LANG_ID_SQL,
-        "doc_fingerprints": (
-            "SELECT doc_id, list_min("
+            "      THEN 1.0 ELSE 0.5 END), 6) AS quality, "
+            "list_min("
             "[('0x' || substr(md5(substr(text, i, 16)), 1, 15))::UBIGINT "
             " FOR i IN range(1, greatest(length(text) - 15, 1) + 1)])::BIGINT AS fp "
             "FROM documents"
         ),
+        "text_lang_id": _LANG_ID_SQL,
         "curate_documents": _CURATE_SQL,
         "media_metadata_html": (
             "SELECT doc_id, 'html' AS media_type, "
             "(12 + length(text))::BIGINT AS n_bytes, "
             "sha256('<html><body>' || text) AS content_sha256 FROM documents"
-        ),
-        "media_featurize_check": (
-            "SELECT doc_id, TRUE AS dim_ok, TRUE AS norm_ok FROM documents"
         ),
         # the real-decode contract: the Spark side DECODES synthesized
         # BMPs (datagen.bmp_for_id); the oracle derives the same values

@@ -206,6 +206,38 @@ def q_pages_cuckoo_partitioned(spark):
     return PAGES_ROWS, hits
 
 
+def q_pages_windowed_partitioned(spark):
+    """North-star #4d (round 6): the non-broadcast WINDOWED-Bloom path —
+    per-week level bit vectors built directly into a distributed
+    (level, block, words) table (no level state ever materialized), 20%
+    probe sample computes its KM positions JVM-side and shuffles bit
+    tests to their block; per-level AND / cross-level OR recombine. The
+    probe-side cost is k+? rows per item through one exchange — what the
+    beyond-broadcast-budget degradation costs at this stack size."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.windowed_bloom import (
+        build_windowed_bloom_blocks_df,
+        windowed_bloom_partitioned_probe,
+    )
+
+    pages = spark.read.parquet(PAGES_PATH).withColumn(
+        "week", F.weekofyear("warc_ts").cast("long")
+    )
+    blocks = build_windowed_bloom_blocks_df(
+        pages, "week", "url",
+        capacity_per_level=2 * PAGES_ROWS, target_fpr=0.01,
+        words_per_block=16384,
+    )
+    probes = pages.select("url").where(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
+    hits = (
+        windowed_bloom_partitioned_probe(probes, "url", blocks, num_levels=3)
+        .where(F.col("is_member"))
+        .count()
+    )
+    return PAGES_ROWS, hits
+
+
 def q_pages_simhash_fingerprints(spark):
     """LLM-pipeline kernel #1 (VERDICT r2 #7): SimHash fingerprints over
     a deterministic 20% page sample — the linear signature stage whose
@@ -292,6 +324,7 @@ QUERIES = {
     "pages_bloom_membership": q_pages_bloom_membership,
     "pages_cuckoo_membership": q_pages_cuckoo_membership,
     "pages_cuckoo_partitioned": q_pages_cuckoo_partitioned,
+    "pages_windowed_partitioned": q_pages_windowed_partitioned,
     "pages_simhash_fingerprints": q_pages_simhash_fingerprints,
     "pages_minhash_signatures": q_pages_minhash_signatures,
     "lineitem_flagship_multisketch": q_lineitem_flagship,
@@ -340,6 +373,7 @@ REWARM = {
     "pages_bloom_membership": _touch_pages,
     "pages_cuckoo_membership": _touch_pages,
     "pages_cuckoo_partitioned": _touch_pages,
+    "pages_windowed_partitioned": _touch_pages,
     "pages_simhash_fingerprints": _touch_pages,
     "pages_minhash_signatures": _touch_pages,
     "lineitem_flagship_multisketch": _touch_lineitem,
@@ -416,18 +450,41 @@ def main() -> None:
     # lets a reader distinguish an ambient contention burst (one outlier
     # rep) from a real regression (all reps slow) without re-running
     reps_log: dict[str, list[float]] = {name: [] for name in QUERIES}
+
+    def run_one(name: str) -> None:
+        fn = QUERIES[name]
+        rewarm = REWARM.get(name)
+        if rewarm is not None:
+            rewarm(spark)  # untimed: restore this query's page-cache state
+        t0 = time.perf_counter()
+        n_rows, _ = fn(spark)
+        dt = time.perf_counter() - t0
+        rows[name] = n_rows
+        reps_log[name].append(round(dt, 3))
+        if name not in best or dt < best[name]:
+            best[name] = dt
+
     for _ in range(reps):
-        for name, fn in QUERIES.items():
-            rewarm = REWARM.get(name)
-            if rewarm is not None:
-                rewarm(spark)  # untimed: restore this query's page-cache state
-            t0 = time.perf_counter()
-            n_rows, _ = fn(spark)
-            dt = time.perf_counter() - t0
-            rows[name] = n_rows
-            reps_log[name].append(round(dt, 3))
-            if name not in best or dt < best[name]:
-                best[name] = dt
+        for name in QUERIES:
+            run_one(name)
+    # CONVERGED-TAIL top-up (VERDICT r5 #6): a rep array still falling at
+    # its last rep means the recorded min is warmup, not a measurement.
+    # Re-run (interleaved) every query whose last rep is >10% above its
+    # min until the tail flattens or the per-query rep budget is hit.
+    max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "8")))
+
+    def unconverged() -> list[str]:
+        out = []
+        for name, arr in reps_log.items():
+            if len(arr) < max_reps and arr[-1] > 1.10 * min(arr):
+                out.append(name)
+        return out
+
+    pending = unconverged()
+    while pending:
+        for name in pending:
+            run_one(name)
+        pending = unconverged()
     timings = {name: round(best[name], 3) for name in QUERIES}
     rates = {name: round(rows[name] / best[name], 1) for name in QUERIES}
 

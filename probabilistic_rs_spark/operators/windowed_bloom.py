@@ -52,9 +52,12 @@ def _check_level_budget(
         raise SketchConfigError(
             f"windowed-Bloom level stack would broadcast {total} bytes "
             f"({num_levels} levels x {level_bytes} bytes/level) > "
-            f"max_broadcast_bytes={max_broadcast_bytes}; lower "
-            "capacity_per_level / raise target_fpr / reduce num_levels, "
-            "or raise max_broadcast_bytes explicitly"
+            f"max_broadcast_bytes={max_broadcast_bytes}; use the "
+            "PARTITIONED family instead (build_windowed_bloom_blocks_df / "
+            "windowed_states_to_blocks_df + windowed_bloom_partitioned_probe "
+            "— no broadcast, no budget), or lower capacity_per_level / "
+            "raise target_fpr / reduce num_levels, or raise "
+            "max_broadcast_bytes explicitly"
         )
 
 
@@ -479,6 +482,16 @@ def build_windowed_bloom_blocks_df(
     built level (same position expressions, same word layout) — asserted
     in tests.
 
+    Shuffle trade, stated plainly: this path shuffles ~k·20 B per input
+    row (position rows keyed by block), where the state-aggregate build
+    (:func:`windowed_bloom_states` → :func:`windowed_states_to_blocks_df`)
+    shuffles only per-partition partial states. At optimal Bloom sizing
+    (~10·k/ln²2 bits per key) each task's slice of any one block is
+    sparse, so pre-combining words map-side would ship mostly-zero
+    128 KiB arrays and LOSE to the position rows — prefer the
+    state-aggregate build whenever a level fits one task, and this one
+    only beyond that.
+
     ``level_col`` is any groupable bucketing column (an event-time window
     start, a day number, …)."""
     from probabilistic_rs_spark.operators.sketch_agg import (
@@ -500,7 +513,7 @@ def build_windowed_bloom_blocks_df(
     )
     schema = _blocks_schema(e.schema["level"].dataType)
 
-    def scatter(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def scatter(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         lvl, block = key[0], int(key[1])
         blen = min(wpb, n_words - block * wpb)
         words = np.zeros(blen, dtype=np.uint64)

@@ -1,0 +1,121 @@
+"""Round-6 durable ops-log generations (VERDICT r5 next-round #5): the
+GDPR-purge chain through the lineage layer — write generation g, kill,
+resume, fold g+1; the resumed chain must be BIT-IDENTICAL to an
+uninterrupted one, the crash window (states written, lineage missing)
+must be idempotent, and the persisted config must win on load."""
+
+from __future__ import annotations
+
+
+import os
+
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from probabilistic_rs_spark.errors import SketchConfigError
+from probabilistic_rs_spark.generations import GenerationLog
+
+
+def _ops(spark, lo, hi, op, prefix="g"):
+    return spark.range(lo, hi).select(
+        F.lit(op).alias("op"), F.concat(F.lit(prefix), F.col("id")).alias("key")
+    )
+
+
+def _state_rows(spark, log, gen):
+    return sorted(
+        (r["shard"], bytes(r["state"]), r["n_items"], r["n_shards"])
+        for r in log.states_df(spark, gen).collect()
+    )
+
+
+GENS = [
+    (1, "insert", (0, 5000)),
+    (2, "insert", (5000, 8000)),
+    (3, "delete", (0, 2000)),
+]
+
+
+def _feed(spark, g):
+    gen, op, (lo, hi) = GENS[g - 1]
+    return _ops(spark, lo, hi, op)
+
+
+@pytest.mark.parametrize("family,params", [
+    ("cuckoo", {"capacity": 20_000, "n_shards": 8}),
+    ("quotient", {"capacity": 20_000, "false_positive_rate": 1e-8, "shard_bits": 3}),
+])
+def test_kill_resume_bit_identical(spark, tmp_path, family, params):
+    # uninterrupted chain
+    d_ref = str(tmp_path / f"{family}-ref")
+    ref = GenerationLog.create(d_ref, family, "key", **params)
+    for g in (1, 2, 3):
+        ref.apply_generation(spark, _feed(spark, g), g)
+
+    # interrupted chain: apply 1..2, "kill" (drop the object), resume
+    d = str(tmp_path / f"{family}-resumed")
+    log = GenerationLog.create(d, family, "key", **params)
+    log.apply_generation(spark, _feed(spark, 1), 1)
+    log.apply_generation(spark, _feed(spark, 2), 2)
+    del log
+    resumed = GenerationLog.load(d)
+    assert resumed.last_generation() == 2
+    # re-applying a durable generation is a no-op skip
+    resumed.apply_generation(spark, _feed(spark, 2), 2)
+    assert resumed.last_generation() == 2
+    resumed.apply_generation(spark, _feed(spark, 3), 3)
+
+    for g in (1, 2, 3):
+        assert _state_rows(spark, resumed, g) == _state_rows(spark, ref, g), (
+            family, g,
+        )
+
+    # the surviving set probes correctly through the durable layer
+    probes = spark.range(8000).select(F.concat(F.lit("g"), F.col("id")).alias("key"))
+    got = resumed.probe(probes, "key").where("is_member").count()
+    assert got == 6000  # 8000 inserted - 2000 purged
+    gone = resumed.probe(
+        spark.range(2000).select(F.concat(F.lit("g"), F.col("id")).alias("key")), "key"
+    )
+    assert gone.where("is_member").count() == 0
+
+
+def test_crash_window_between_states_and_lineage(spark, tmp_path):
+    d = str(tmp_path / "crashwin")
+    log = GenerationLog.create(d, "cuckoo", "key", capacity=20_000, n_shards=4)
+    log.apply_generation(spark, _feed(spark, 1), 1)
+    before = _state_rows(spark, log, 1)
+    # simulate the crash: gen-2 states fully written, lineage NOT
+    log.apply_generation(spark, _feed(spark, 2), 2)
+    os.remove(os.path.join(d, "lineage", "gen-2.json"))
+    resumed = GenerationLog.load(d)
+    assert resumed.last_generation() == 1
+    with pytest.raises(SketchConfigError, match="no lineage record"):
+        resumed.states_df(spark, 2)
+    # re-run overwrites the orphaned states dir, bit-identical outcome
+    resumed.apply_generation(spark, _feed(spark, 2), 2)
+    ref = GenerationLog.create(str(tmp_path / "crashref"), "cuckoo", "key",
+                               capacity=20_000, n_shards=4)
+    ref.apply_generation(spark, _feed(spark, 1), 1)
+    ref.apply_generation(spark, _feed(spark, 2), 2)
+    assert _state_rows(spark, resumed, 2) == _state_rows(spark, ref, 2)
+    assert _state_rows(spark, resumed, 1) == before  # gen 1 untouched
+
+
+def test_out_of_order_and_config_wins(spark, tmp_path):
+    d = str(tmp_path / "order")
+    log = GenerationLog.create(d, "quotient", "key",
+                               capacity=1000, false_positive_rate=1e-6, shard_bits=2)
+    with pytest.raises(SketchConfigError, match="in order"):
+        log.apply_generation(spark, _feed(spark, 1), 2)
+    log.apply_generation(spark, _feed(spark, 1), 1)
+    # load ignores caller params entirely (persisted config wins)
+    again = GenerationLog.create_or_load(d, "quotient", "key",
+                                         capacity=999_999, shard_bits=9)
+    assert again.params["capacity"] == 1000
+    assert again.params["shard_bits"] == 2
+    # unknown family rejected
+    with pytest.raises(SketchConfigError, match="family"):
+        GenerationLog.create(str(tmp_path / "bad"), "bloomish", "key")
