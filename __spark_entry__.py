@@ -749,13 +749,18 @@ def _q_windowed_bloom_partitioned_members(spark: SparkSession, sf_dir: str) -> D
     blocks = build_windowed_bloom_blocks_df(
         ev, "bucket", "user_id",
         capacity_per_level=100_000, target_fpr=0.0001, words_per_block=4096,
-    )
-    users = ev.select("user_id").distinct()
-    return (
-        windowed_bloom_partitioned_probe(users, "user_id", blocks, num_levels=3)
-        .where(F.col("is_member"))
-        .select("user_id")
-    )
+    ).persist()
+    try:
+        blocks.count()  # the probe walks the blocks table 3x — materialize
+        users = ev.select("user_id").distinct()
+        out = (
+            windowed_bloom_partitioned_probe(users, "user_id", blocks, num_levels=3)
+            .where(F.col("is_member"))
+            .select("user_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        blocks.unpersist()
 
 
 def _q_streaming_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -228,13 +228,19 @@ def q_pages_windowed_partitioned(spark):
         pages, "week", "url",
         capacity_per_level=2 * PAGES_ROWS, target_fpr=0.01,
         words_per_block=16384,
-    )
-    probes = pages.select("url").where(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
-    hits = (
-        windowed_bloom_partitioned_probe(probes, "url", blocks, num_levels=3)
-        .where(F.col("is_member"))
-        .count()
-    )
+    ).persist()
+    try:
+        blocks.count()  # materialize: the probe walks the table 3x (meta,
+        # active-window list, bit-test join) — same persist-between-stages
+        # convention as the cuckoo/quotient partitioned families
+        probes = pages.select("url").where(F.pmod(F.xxhash64("url"), F.lit(5)) == 0)
+        hits = (
+            windowed_bloom_partitioned_probe(probes, "url", blocks, num_levels=3)
+            .where(F.col("is_member"))
+            .count()
+        )
+    finally:
+        blocks.unpersist()
     return PAGES_ROWS, hits
 
 

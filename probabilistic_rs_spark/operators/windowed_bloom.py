@@ -478,19 +478,20 @@ def build_windowed_bloom_blocks_df(
     the broadcast budget AND the per-task build): the k KM positions are
     computed JVM-side per row, exploded to ``(level, block, word, bit)``,
     shuffled to their block, and each block scatters its own bits in one
-    numpy pass. Per-task memory = one block. Bit-identical to exploding a
-    built level (same position expressions, same word layout) — asserted
-    in tests.
+    numpy pass (O(rows_in_block + block_words)). Per-task memory = one
+    block. Bit-identical to exploding a built level (same position
+    expressions, same word layout) — asserted in tests.
 
-    Shuffle trade, stated plainly: this path shuffles ~k·20 B per input
-    row (position rows keyed by block), where the state-aggregate build
-    (:func:`windowed_bloom_states` → :func:`windowed_states_to_blocks_df`)
-    shuffles only per-partition partial states. At optimal Bloom sizing
-    (~10·k/ln²2 bits per key) each task's slice of any one block is
-    sparse, so pre-combining words map-side would ship mostly-zero
-    128 KiB arrays and LOSE to the position rows — prefer the
-    state-aggregate build whenever a level fits one task, and this one
-    only beyond that.
+    Why the scatter is an Arrow kernel and not SQL (round-6 measurement):
+    a pure-JVM assembly was tried and REVERTED — per-word ``bit_or`` then
+    ``map_from_entries`` + per-index ``try_element_at`` is O(words²) per
+    block because Spark map lookups are linear scans (200+ s at sf0.1 vs
+    7 s for this kernel), and the ``bit_or`` pre-combine buys ~nothing
+    because at optimal Bloom sizing positions are nearly unique per word.
+    The position-row shuffle (~k·20 B per input row) is the honest cost;
+    prefer the state-aggregate build (:func:`windowed_bloom_states` →
+    :func:`windowed_states_to_blocks_df`, which shuffles only per-
+    partition partial states) whenever a level fits one task.
 
     ``level_col`` is any groupable bucketing column (an event-time window
     start, a day number, …)."""
@@ -581,7 +582,12 @@ def windowed_bloom_partitioned_probe(
     Shuffle volume: ~k·(8 B + item) per distinct probe item + the blocks
     table — row-count-bounded, never state-size-bounded. ``num_levels`` /
     ``as_of`` restrict to the most recent levels (the O(num_levels)
-    window list rides a metadata broadcast, not the states)."""
+    window list rides a metadata broadcast, not the states).
+
+    PERSIST ``blocks_df`` before probing (the cuckoo/quotient
+    materialize-between-stages convention): the probe walks the table
+    three times — geometry check, active-window list, bit-test join —
+    and an unpersisted build plan would re-execute for each."""
     meta = _blocks_meta(blocks_df)
     if meta is None:
         return probe_df.withColumn(out_col, F.lit(False))

@@ -161,6 +161,26 @@ class TestPartitionedProbe:
         with pytest.raises(Exception, match="type mismatch"):
             windowed_states_to_blocks_df(states, num_levels=3).collect()
 
+    def test_blocks_from_parquet_roundtripped_states(self, spark, built, tmp_path):
+        # composition across persistence: states -> parquet -> load ->
+        # blocks -> probe must equal probing the in-session states
+        ev, states, blocks = built
+        path = str(tmp_path / "wb_states")
+        states.write.mode("overwrite").parquet(path)
+        blocks2 = windowed_states_to_blocks_df(
+            spark.read.parquet(path), num_levels=3, words_per_block=64
+        )
+        probes = ev.select("user").distinct()
+        want = {
+            r["user"]: r["is_member"]
+            for r in windowed_bloom_partitioned_probe(probes, "user", blocks).collect()
+        }
+        got = {
+            r["user"]: r["is_member"]
+            for r in windowed_bloom_partitioned_probe(probes, "user", blocks2).collect()
+        }
+        assert got == want
+
     def test_probe_plan_needs_no_broadcast(self, spark, built):
         ev, _, blocks = built
         conf = spark.conf
