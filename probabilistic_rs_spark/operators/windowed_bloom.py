@@ -646,3 +646,29 @@ def windowed_bloom_partitioned_probe(
     return out.withColumn(out_col, F.coalesce(F.col("__wbp_hit"), F.lit(False))).drop(
         "__wbp_item", "__wbp_hit"
     )
+
+
+def prune_expired_blocks(
+    blocks_df: DataFrame, num_levels: int = 3, as_of=None
+) -> DataFrame:
+    """Retention for the partitioned family — keep only the block rows of
+    the ``num_levels`` most recent levels at/before ``as_of`` (the blocks
+    analog of :func:`prune_expired_windows`, same dense-rank-over-
+    distinct-levels idiom the probe uses for restriction). Write the
+    result to a new versioned location and flip a pointer to bound a
+    persisted blocks table instead of letting dead levels accumulate."""
+    from pyspark.sql import Window as W
+
+    if not (0 < int(num_levels) <= 255):
+        raise SketchConfigError("num_levels must be in 1..=255")
+    cur = blocks_df
+    if as_of is not None:
+        cur = cur.where(F.col("level") <= F.lit(as_of))
+    wins = (
+        cur.select("level")
+        .distinct()
+        .withColumn("__rk", F.dense_rank().over(W.orderBy(F.desc("level"))))
+        .where(F.col("__rk") <= int(num_levels))
+        .select("level")
+    )
+    return cur.join(F.broadcast(wins), "level")

@@ -45,6 +45,7 @@ def _feed(spark, g):
 
 @pytest.mark.parametrize("family,params", [
     ("cuckoo", {"capacity": 20_000, "n_shards": 8}),
+    ("cuckoo", {"capacity": 20_000, "n_shards": 8, "native": True}),
     ("quotient", {"capacity": 20_000, "false_positive_rate": 1e-8, "shard_bits": 3}),
 ])
 def test_kill_resume_bit_identical(spark, tmp_path, family, params):

@@ -143,6 +143,33 @@ class TestStreamingNative:
         )
         assert got == want
 
+        # round 6: the same persisted levels feed the PARTITIONED family —
+        # chunk stores -> states frame -> blocks table -> non-broadcast
+        # probe must agree with the broadcast probe on the same levels
+        from probabilistic_rs_spark.operators.windowed_bloom import (
+            windowed_bloom_partitioned_probe,
+            windowed_states_to_blocks_df,
+        )
+
+        states_df = spark.createDataFrame(
+            [(wk, bytearray(blob)) for wk, blob in stores.active_level_states()],
+            "window_start string, bloom_state binary",
+        )
+        blocks = windowed_states_to_blocks_df(
+            states_df, num_levels=3, words_per_block=1024
+        ).persist()
+        try:
+            blocks.count()
+            got_part = set(
+                r["user_id"]
+                for r in windowed_bloom_partitioned_probe(users, "user_id", blocks)
+                .where("is_member")
+                .collect()
+            )
+        finally:
+            blocks.unpersist()
+        assert got_part == want
+
     def test_bad_engine_rejected(self, spark, events):
         from probabilistic_rs_spark.errors import SketchConfigError
         from probabilistic_rs_spark.streaming import streaming_windowed_bloom

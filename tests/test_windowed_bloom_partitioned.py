@@ -161,6 +161,29 @@ class TestPartitionedProbe:
         with pytest.raises(Exception, match="type mismatch"):
             windowed_states_to_blocks_df(states, num_levels=3).collect()
 
+    def test_prune_expired_blocks_retention(self, spark, built):
+        from probabilistic_rs_spark.operators.windowed_bloom import (
+            prune_expired_blocks,
+        )
+
+        ev, _, blocks = built
+        kept = prune_expired_blocks(blocks, num_levels=2)
+        assert {r["level"] for r in kept.select("level").distinct().collect()} == {1, 2}
+        # probing the pruned table (no further restriction) == probing the
+        # full table restricted to the same 2 levels
+        probes = ev.select("user").distinct()
+        a = {
+            r["user"]: r["is_member"]
+            for r in windowed_bloom_partitioned_probe(probes, "user", kept).collect()
+        }
+        b = {
+            r["user"]: r["is_member"]
+            for r in windowed_bloom_partitioned_probe(
+                probes, "user", blocks, num_levels=2
+            ).collect()
+        }
+        assert a == b
+
     def test_blocks_from_parquet_roundtripped_states(self, spark, built, tmp_path):
         # composition across persistence: states -> parquet -> load ->
         # blocks -> probe must equal probing the in-session states
