@@ -112,13 +112,35 @@ def _q_cms_heavy_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("key", "est_count")
 
 
-def _q_cms_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from probabilistic_rs_spark.operators.heavy_hitters import cms_heavy_hitters
+def _q_cms_partitioned_probe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NON-BROADCAST CMS point probe (round 6): the d×w count matrix
+    lives as a distributed (row, block, cells) table built without ever
+    materializing the matrix (keys pre-aggregate map-side, cells
+    scatter-sum per block); probe keys compute their d KM cells in
+    codegen and shuffle one lookup per (row, block), min-combined per
+    key. Same hash family and cell derivation as cms_probe /
+    native_cms_probe — identical estimates by construction; exact on
+    this data (event_type cardinality ≪ w), so the exact-count oracle
+    hash-matches. Replaces the former cms_event_type_counts slot (its
+    cms_heavy_hitters surface stays gated by cms_heavy_parts)."""
+    from probabilistic_rs_spark.operators.heavy_hitters import (
+        build_cms_blocks_df,
+        cms_partitioned_probe,
+    )
 
     ev = _t(spark, sf_dir, "events")
-    return cms_heavy_hitters(ev, "event_type", eps=0.001, delta=0.001, threshold=1).select(
-        "key", "est_count"
-    )
+    blocks = build_cms_blocks_df(
+        ev, "event_type", eps=0.001, delta=0.001, cells_per_block=512
+    ).persist()
+    try:
+        blocks.count()  # the probe walks the blocks table twice
+        probes = ev.select("event_type").distinct()
+        out = cms_partitioned_probe(probes, "event_type", blocks).select(
+            F.col("event_type").alias("key"), "est_count"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        blocks.unpersist()
 
 
 def _q_salted_exact_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1313,7 +1335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_custkey_global": _q_hll_custkey_global,
         "hll_dense_bound_orderkey_by_flag": _q_hll_dense_bound,
         "cms_heavy_parts": _q_cms_heavy_parts,
-        "cms_event_type_counts": _q_cms_event_type_counts,
+        "cms_partitioned_probe_event_counts": _q_cms_partitioned_probe_event_counts,
         "salted_exact_supplier_counts": _q_salted_exact_supplier_counts,
         "bloom_members_custkey": _q_bloom_members_custkey,
         "native_bloom_members_custkey": _q_native_bloom_members_custkey,
@@ -1378,7 +1400,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(l_partkey AS VARCHAR) AS key, count(*)::BIGINT AS est_count "
             "FROM lineitem GROUP BY l_partkey HAVING count(*) >= 45"
         ),
-        "cms_event_type_counts": (
+        "cms_partitioned_probe_event_counts": (
             "SELECT event_type AS key, count(*)::BIGINT AS est_count "
             "FROM events GROUP BY event_type"
         ),

@@ -47,6 +47,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from probabilistic_rs_spark.errors import SketchConfigError
 from probabilistic_rs_spark.sketches.cms import CountMinSketch
 
 _PARTIAL_SCHEMA = StructType(
@@ -488,3 +489,182 @@ def salted_apply_in_pandas_agg(
     return stage1.groupBy("key").agg(
         F.sum("total").alias("total"), F.sum("cnt").cast("long").alias("cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned (non-broadcast) CMS — round 6
+# ---------------------------------------------------------------------------
+#
+# The broadcast probes above ship the whole d×w matrix to every executor
+# (~235 MB at eps 1e-6 / delta 1e-3). Past that budget the count family
+# needs the same degradation the membership families got: the matrix
+# lives as a DISTRIBUTED ``(row, block, cells)`` table (each matrix row
+# range-sharded into column blocks), probe keys compute their d
+# Kirsch–Mitzenmacher cells JVM-side, shuffle one lookup per (row,
+# block), and ``min`` recombines per key. Per-task memory = one block +
+# one key slice, independent of matrix size.
+
+
+def _cms_geometry(eps: float, delta: float) -> tuple[int, int]:
+    """(d, w) exactly as ``CountMinSketch.__init__`` derives them —
+    arithmetic only, so an over-budget matrix is never allocated
+    driver-side just to learn its shape."""
+    import math
+
+    if not (0.0 < eps < 1.0):
+        raise SketchConfigError("CMS eps must be in (0,1)")
+    if not (0.0 < delta < 1.0):
+        raise SketchConfigError("CMS delta must be in (0,1)")
+    d = max(1, math.ceil(math.log(1.0 / delta)))
+    w = max(2, math.ceil(math.e / eps))
+    return d, 1 << (w - 1).bit_length()
+
+
+def _cms_cell_structs(h, d: int, w: int):
+    """d ``struct(row, cell)`` expressions from one xxhash64 column — the
+    same KM derivation ``sketches/cms.py:_cells`` and
+    :func:`native_cms_probe` use (h1 < 2^32, j·h2 < d·2^32 ≪ 2^63: ANSI
+    arithmetic cannot overflow; signed math equals the kernel's uint64)."""
+    h1 = F.call_function("shiftrightunsigned", h, F.lit(32))
+    h2 = h.bitwiseAND(F.lit(0xFFFFFFFF)).bitwiseOR(F.lit(1))
+    mask = F.lit(int(w - 1))
+    return [
+        F.struct(
+            F.lit(int(j)).alias("row"),
+            (h1 + F.lit(int(j)) * h2).bitwiseAND(mask).alias("cell"),
+        )
+        for j in range(d)
+    ]
+
+
+def build_cms_blocks_df(
+    df: DataFrame,
+    key_col: str,
+    eps: float = 0.0001,
+    delta: float = 0.001,
+    cells_per_block: int = 65536,
+) -> DataFrame:
+    """Build the distributed CMS blocks table WITHOUT ever materializing
+    the d×w matrix anywhere: keys pre-aggregate to ``(hash, count)``
+    (a plain hash aggregate — MAP-SIDE COMBINE, so the shuffle is
+    bounded by distinct keys, not input rows; grouping by the hash is
+    semantically identical to the CMS, whose cells derive from that same
+    hash), explode to their d (row, cell) targets, shuffle to their
+    (row, block), and each block sums its own cells in one numpy
+    ``add.at`` pass. Returns ``(row, block, cells, d, w,
+    cells_per_block)`` — blocks that received no counts are absent
+    (probes read them as zero). One build's blocks per table — the same
+    contract as every partitioned family."""
+    cpb = int(cells_per_block)
+    if cpb <= 0:
+        raise SketchConfigError("cells_per_block must be positive")
+    d, w = _cms_geometry(eps, delta)
+    counts = df.groupBy(
+        F.xxhash64(F.col(key_col).cast("string")).alias("__h")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    e = counts.select(
+        F.explode(F.array(*_cms_cell_structs(F.col("__h"), d, w))).alias("__rc"),
+        "__c",
+    ).select(
+        F.col("__rc.row").alias("row"),
+        F.expr(f"CAST(__rc.cell DIV {cpb} AS INT)").alias("block"),
+        F.expr(f"CAST(__rc.cell % {cpb} AS INT)").alias("__off"),
+        "__c",
+    )
+    schema = (
+        "row int, block int, cells array<bigint>, d int, w bigint, "
+        "cells_per_block int"
+    )
+
+    def scatter(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        row, block = int(key[0]), int(key[1])
+        blen = min(cpb, w - block * cpb)
+        cells = np.zeros(blen, dtype=np.int64)
+        np.add.at(
+            cells,
+            pdf["__off"].to_numpy(dtype="int64"),
+            pdf["__c"].to_numpy(dtype="int64"),
+        )
+        return pd.DataFrame(
+            {
+                "row": pd.Series([row], dtype="int32"),
+                "block": pd.Series([block], dtype="int32"),
+                "cells": [cells.tolist()],
+                "d": pd.Series([d], dtype="int32"),
+                "w": pd.Series([w], dtype="int64"),
+                "cells_per_block": pd.Series([cpb], dtype="int32"),
+            }
+        )
+
+    return e.groupBy("row", "block").applyInPandas(scatter, schema)
+
+
+def _cms_blocks_meta(blocks_df: DataFrame) -> tuple[int, int, int] | None:
+    row = blocks_df.agg(
+        F.max("d").alias("d_hi"), F.min("d").alias("d_lo"),
+        F.max("w").alias("w_hi"), F.min("w").alias("w_lo"),
+        F.max("cells_per_block").alias("c_hi"), F.min("cells_per_block").alias("c_lo"),
+    ).head()
+    if row is None or row["d_hi"] is None:
+        return None
+    if (row["d_hi"], row["w_hi"], row["c_hi"]) != (row["d_lo"], row["w_lo"], row["c_lo"]):
+        raise SketchConfigError(
+            "blocks_df mixes CMS geometries "
+            f"(d {row['d_lo']}..{row['d_hi']}, w {row['w_lo']}..{row['w_hi']}, "
+            f"cells_per_block {row['c_lo']}..{row['c_hi']}) — probe one "
+            "build's blocks at a time"
+        )
+    return int(row["d_hi"]), int(row["w_hi"]), int(row["c_hi"])
+
+
+def cms_partitioned_probe(
+    probe_df: DataFrame,
+    key_col: str,
+    blocks_df: DataFrame,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point estimates against the DISTRIBUTED CMS blocks table — the
+    non-broadcast sibling of :func:`cms_probe` / :func:`native_cms_probe`
+    with identical estimates by construction (same hash, same KM cells,
+    same min-combine):
+
+    1. distinct probe keys compute their d (row, cell) targets in
+       codegen and explode to d rows;
+    2. a LEFT equi-join on (row, block) routes each lookup to the task
+       holding that matrix slice (an absent block row is a zero cell —
+       ``coalesce``);
+    3. ``min`` over the d values per key, re-joined to the probe rows
+       null-safely.
+
+    Shuffle volume: d·(12 B + key) per distinct probe key + the blocks
+    table — row-count-bounded, never matrix-size-bounded. PERSIST
+    ``blocks_df`` before probing (the probe walks it twice: geometry
+    check + lookup join)."""
+    meta = _cms_blocks_meta(blocks_df)
+    if meta is None:
+        return probe_df.withColumn(out_col, F.lit(0).cast("bigint"))
+    d, w, cpb = meta
+    keys = probe_df.select(F.col(key_col).alias("__cmsp_key")).distinct()
+    h = F.xxhash64(F.col("__cmsp_key").cast("string"))
+    e = keys.select(
+        "__cmsp_key", F.explode(F.array(*_cms_cell_structs(h, d, w))).alias("__rc")
+    ).select(
+        "__cmsp_key",
+        F.col("__rc.row").alias("row"),
+        F.expr(f"CAST(__rc.cell DIV {cpb} AS INT)").alias("block"),
+        F.expr(f"CAST(__rc.cell % {cpb} AS INT)").alias("__off"),
+    )
+    joined = e.join(
+        blocks_df.select("row", "block", "cells"), ["row", "block"], "left"
+    )
+    val = F.coalesce(
+        F.element_at(F.col("cells"), F.col("__off") + F.lit(1)),
+        F.lit(0).cast("bigint"),
+    )
+    ests = joined.groupBy("__cmsp_key").agg(F.min(val).alias("__cmsp_est"))
+    out = probe_df.join(
+        ests, F.col(key_col).eqNullSafe(F.col("__cmsp_key")), "left"
+    )
+    return out.withColumn(
+        out_col, F.coalesce(F.col("__cmsp_est"), F.lit(0).cast("bigint"))
+    ).drop("__cmsp_key", "__cmsp_est")
