@@ -206,6 +206,39 @@ def q_pages_cuckoo_partitioned(spark):
     return PAGES_ROWS, hits
 
 
+def q_pages_cms_partitioned(spark):
+    """North-star #2b (round 6): the NON-BROADCAST count path — the CMS
+    matrix lives as a distributed (row, block, cells) table (built via a
+    map-side-combined key pre-aggregation, so the build shuffle is
+    bounded by distinct hosts, not rows) and the probe shuffles d cell
+    lookups per distinct host. Prices the count family's
+    beyond-broadcast-budget shape next to the broadcast CMS number."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.heavy_hitters import (
+        build_cms_blocks_df,
+        cms_partitioned_probe,
+    )
+
+    pages = spark.read.parquet(PAGES_PATH).select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+    )
+    blocks = build_cms_blocks_df(
+        pages, "host", eps=0.0001, delta=0.001, cells_per_block=4096
+    ).persist()
+    try:
+        blocks.count()
+        probes = pages.select("host").distinct()
+        hits = (
+            cms_partitioned_probe(probes, "host", blocks)
+            .where(F.col("est_count") >= int(PAGES_ROWS * 0.002))
+            .count()
+        )
+    finally:
+        blocks.unpersist()
+    return PAGES_ROWS, hits
+
+
 def q_pages_windowed_partitioned(spark):
     """North-star #4d (round 6): the non-broadcast WINDOWED-Bloom path —
     per-week level bit vectors built directly into a distributed
@@ -330,6 +363,7 @@ QUERIES = {
     "pages_bloom_membership": q_pages_bloom_membership,
     "pages_cuckoo_membership": q_pages_cuckoo_membership,
     "pages_cuckoo_partitioned": q_pages_cuckoo_partitioned,
+    "pages_cms_partitioned": q_pages_cms_partitioned,
     "pages_windowed_partitioned": q_pages_windowed_partitioned,
     "pages_simhash_fingerprints": q_pages_simhash_fingerprints,
     "pages_minhash_signatures": q_pages_minhash_signatures,
@@ -379,6 +413,7 @@ REWARM = {
     "pages_bloom_membership": _touch_pages,
     "pages_cuckoo_membership": _touch_pages,
     "pages_cuckoo_partitioned": _touch_pages,
+    "pages_cms_partitioned": _touch_pages,
     "pages_windowed_partitioned": _touch_pages,
     "pages_simhash_fingerprints": _touch_pages,
     "pages_minhash_signatures": _touch_pages,
