@@ -222,6 +222,111 @@ def bmp_for_id(doc_id: int) -> bytes:
     )
 
 
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + ctype
+        + body
+        + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def png_solid(
+    width: int, height: int, rgb: tuple[int, int, int], rgba: bool = False
+) -> bytes:
+    """A well-formed PNG of one solid color that exercises EVERY
+    scanline filter type: row r is encoded with filter ``r % 5``
+    (None/Sub/Up/Average/Paeth in rotation), so a decoder that gets any
+    unfilter path wrong cannot round-trip this fixture. 8-bit, color
+    type 2 (RGB) or 6 (RGBA when ``rgba``); stdlib zlib only —
+    deterministic bytes for a given input (CPython zlib is)."""
+    import zlib
+
+    bpp = 4 if rgba else 3
+    px = bytes(rgb) + (b"\xff" if rgba else b"")
+    raw_row = px * width
+    stride = width * bpp
+    prev = b"\x00" * stride
+    lines = bytearray()
+    for r in range(height):
+        f = r % 5
+        lines.append(f)
+        if f == 0:
+            lines.extend(raw_row)
+        elif f == 1:  # Sub
+            lines.extend(
+                (raw_row[i] - (raw_row[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:  # Up
+            lines.extend((raw_row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:  # Average
+            lines.extend(
+                (raw_row[i] - (((raw_row[i - bpp] if i >= bpp else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            def _pp(a, b, c):
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    return a
+                return b if pb <= pc else c
+
+            lines.extend(
+                (
+                    raw_row[i]
+                    - _pp(
+                        raw_row[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prev = raw_row
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes((8, 6 if rgba else 2, 0, 0, 0))
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_for_id(doc_id: int) -> bytes:
+    """Deterministic per-document PNG — SAME arithmetic geometry/color
+    contract as :func:`bmp_for_id`, so the two codecs share one SQL
+    oracle; even ids are RGB, odd ids RGBA (alpha dropped on decode)."""
+    did = int(doc_id)
+    return png_solid(
+        4 + did % 13,
+        3 + did % 7,
+        (did % 256, (7 * did) % 256, (13 * did) % 256),
+        rgba=bool(did % 2),
+    )
+
+
+def with_png_payload(df, id_col: str, out_col: str = "payload"):
+    """Adds a deterministic PNG binary column derived from ``id_col``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    gen = pandas_udf(
+        lambda ids: ids.map(lambda i: png_for_id(int(i))), BinaryType()
+    )
+    return df.withColumn(out_col, gen(F.col(id_col).cast("long")))
+
+
 def with_bmp_payload(df, id_col: str, out_col: str = "payload"):
     """Adds a deterministic BMP binary column derived from ``id_col`` —
     vectorized ``pandas_udf`` fixture generation (test input synthesis,

@@ -119,3 +119,122 @@ class TestFeatures:
             _image_decode_featurize(pd.Series([b"\xff\xd8\xff rest-of-jpeg"]))
         with pytest.raises(ValueError):
             _image_decode_featurize(pd.Series([b"garbage-bytes"]))
+
+
+class TestPNG:
+    """Round 6: the real zlib-based PNG decoder (chunk walk + CRC, IHDR,
+    IDAT inflate, all five scanline unfilters, RGB + RGBA)."""
+
+    def test_solid_roundtrip_both_color_types_all_filters(self):
+        from probabilistic_rs_spark.datagen import bmp_for_id, png_for_id
+        from probabilistic_rs_spark.operators.multimodal import (
+            decode_bmp,
+            decode_png,
+        )
+
+        for did in (0, 1, 2, 7, 13, 91, 255, 511, 999):
+            img = decode_png(png_for_id(did))  # odd ids are RGBA
+            w, h = 4 + did % 13, 3 + did % 7
+            assert img.shape == (h, w, 3)
+            assert (img[:, :, 0] == did % 256).all()
+            assert (img[:, :, 1] == (7 * did) % 256).all()
+            assert (img[:, :, 2] == (13 * did) % 256).all()
+            # codec parity: PNG and BMP twins decode identically
+            assert (img == decode_bmp(bmp_for_id(did))).all()
+
+    @staticmethod
+    def _encode(img: np.ndarray) -> bytes:
+        """Minimal test-side encoder for arbitrary content, rotating
+        through every filter type per row."""
+        import zlib
+
+        from probabilistic_rs_spark.datagen import _png_chunk
+
+        h, w, c = img.shape
+        bpp, stride = c, w * c
+        prev = bytes(stride)
+        out = bytearray()
+
+        def pp(a, b, cc):
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+
+        for r in range(h):
+            raw = img[r].tobytes()
+            f = r % 5
+            out.append(f)
+            for i in range(stride):
+                left = raw[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    v = raw[i]
+                elif f == 1:
+                    v = raw[i] - left
+                elif f == 2:
+                    v = raw[i] - prev[i]
+                elif f == 3:
+                    v = raw[i] - ((left + prev[i]) >> 1)
+                else:
+                    v = raw[i] - pp(left, prev[i], ul)
+                out.append(v & 0xFF)
+            prev = raw
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes((8, 6 if c == 4 else 2, 0, 0, 0))
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(out), 9))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def test_arbitrary_content_roundtrip(self):
+        from probabilistic_rs_spark.operators.multimodal import decode_png
+
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+        assert (decode_png(self._encode(img)) == img).all()
+        img4 = rng.integers(0, 256, (8, 5, 4), dtype=np.uint8)
+        assert (decode_png(self._encode(img4)) == img4[:, :, :3]).all()
+
+    def test_rejects_corrupt_and_unsupported(self):
+        from probabilistic_rs_spark.datagen import png_for_id
+        from probabilistic_rs_spark.operators.multimodal import decode_png
+
+        good = bytearray(png_for_id(4))
+        bad = bytearray(good)
+        bad[20] ^= 0xFF  # flip a bit inside IHDR
+        with pytest.raises(ValueError, match="CRC mismatch"):
+            decode_png(bytes(bad))
+        with pytest.raises(ValueError, match="not a PNG"):
+            decode_png(b"BM not a png")
+        with pytest.raises(ValueError, match="truncated"):
+            decode_png(bytes(good[:30]))
+        # interlace byte (last IHDR byte) flipped to 1 (CRC recomputed)
+        import zlib as _z
+
+        ihdr = bytes(good[16:29])
+        patched = ihdr[:-1] + b"\x01"
+        rebuilt = (
+            bytes(good[:12])
+            + b"IHDR"
+            + patched
+            + (_z.crc32(b"IHDR" + patched) & 0xFFFFFFFF).to_bytes(4, "big")
+            + bytes(good[33:])
+        )
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_png(rebuilt)
+
+    def test_featurize_dispatches_png(self):
+        from probabilistic_rs_spark.datagen import png_for_id
+        from probabilistic_rs_spark.operators.multimodal import (
+            _image_decode_featurize,
+        )
+
+        import pandas as pd
+
+        out = _image_decode_featurize(pd.Series([png_for_id(6)]))
+        assert out[0, 0] == 4 + 6 % 13 and out[0, 1] == 3 + 6 % 7
