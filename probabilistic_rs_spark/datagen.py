@@ -305,14 +305,336 @@ def png_solid(
 def png_for_id(doc_id: int) -> bytes:
     """Deterministic per-document PNG — SAME arithmetic geometry/color
     contract as :func:`bmp_for_id`, so the two codecs share one SQL
-    oracle; even ids are RGB, odd ids RGBA (alpha dropped on decode)."""
+    oracle; RGBA alternates by id bit 2 (alpha dropped on decode), so
+    both PNG color types appear in every residue class of the oracle
+    query's ``doc_id % 4`` codec rotation."""
     did = int(doc_id)
     return png_solid(
         4 + did % 13,
         3 + did % 7,
         (did % 256, (7 * did) % 256, (13 * did) % 256),
-        rgba=bool(did % 2),
+        rgba=bool((did >> 2) & 1),
     )
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF's variable-width LZW encoder (LSB-first bit packing, clear
+    code up front, width grows with the table, table reset at 4096) —
+    the exact inverse of the engine's ``_gif_lzw_decode``; round-trip
+    equality on patterned frames is asserted in tests."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = bitcnt = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, bitcnt
+        acc |= code << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bitcnt -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, code_size = fresh()
+    emit(clear, code_size)
+    w = b""
+    for ch in indices:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], code_size)
+        table[wc] = next_code
+        next_code += 1
+        if next_code == (1 << code_size) + 1 and code_size < 12:
+            code_size += 1
+        if next_code > 4095:  # table full: reset (decoder mirrors)
+            emit(clear, code_size)
+            table, next_code, code_size = fresh()
+        w = bytes([ch])
+    if w:
+        emit(table[w], code_size)
+    emit(eoi, code_size)
+    if bitcnt:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_from_array(img, interlace: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array with ≤256 distinct colors as a
+    real GIF89a — LOSSLESS, so ``decode_gif(gif_from_array(x)) == x``
+    exactly (the property the codec tests assert). ``interlace`` writes
+    rows in the format's 4-pass order to exercise the decoder's
+    de-interlacer."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[0], img.shape[1]
+    colors, inverse = np.unique(img.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF needs ≤256 distinct colors, got {len(colors)}")
+    size_bits = max(1, (len(colors) - 1).bit_length())  # GCT entries = 2^n, n≥1
+    n_entries = 1 << size_bits
+    palette = np.zeros((n_entries, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    idx = inverse.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = [
+            y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for y in range(start, h, step)
+        ]
+        idx = idx[order]
+    min_code_size = max(2, size_bits)
+    lzw = _gif_lzw_encode(idx.tobytes(), min_code_size)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    packed = 0x80 | ((size_bits - 1) & 0x07)  # GCT present, size field
+    return (
+        b"GIF89a"
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([packed, 0, 0])
+        + palette.tobytes()
+        # comment extension: exercises the decoder's sub-block skipper
+        + b"\x21\xfe\x04test\x00"
+        + b"\x2c"
+        + (0).to_bytes(2, "little") * 2
+        + w.to_bytes(2, "little")
+        + h.to_bytes(2, "little")
+        + bytes([0x40 if interlace else 0x00, min_code_size])
+        + bytes(blocks)
+        + b"\x3b"
+    )
+
+
+def gif_for_id(doc_id: int) -> bytes:
+    """Deterministic per-document GIF — SAME arithmetic geometry/color
+    contract as :func:`bmp_for_id` (GIF is lossless at ≤256 colors, so
+    the decoded values are exact); interlace alternates by id bit 2 so
+    both row orders hit the oracle."""
+    import numpy as np
+
+    did = int(doc_id)
+    w, h = 4 + did % 13, 3 + did % 7
+    rgb = (did % 256, (7 * did) % 256, (13 * did) % 256)
+    img = np.tile(np.array(rgb, dtype=np.uint8), (h, w, 1))
+    return gif_from_array(img, interlace=bool((did >> 2) & 1))
+
+
+# --- JPEG fixture encoder (baseline sequential, T.81) ----------------------
+# Spec constants re-declared here (not imported from the decoder) so the
+# round-trip tests exercise two independent implementations of the format.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.3.1 luminance DC table (public spec constants).
+_JPEG_DC_COUNTS = bytes([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0])
+_JPEG_DC_SYMS = bytes(range(12))
+
+
+def _jpeg_ac_spec() -> tuple[bytes, bytes]:
+    """A compact VALID two-length AC Huffman table: the 9 symbols the
+    fixtures emit constantly (EOB, small sizes, ZRL) at 4 bits, every
+    other legal (run, size) symbol at 12 bits. Canonical-code rules
+    (T.81 §C.2) are satisfied: 9/16 + 153/4096 < 1 and the all-ones
+    code stays unassigned. Deliberately NOT Annex K's table — the
+    decoder must build codes from the DHT segment, not recognize a
+    well-known layout."""
+    common = [0x00, 0x01, 0x02, 0x03, 0x04, 0x05, 0x11, 0x21, 0xF0]
+    rest = [
+        (r << 4) | s
+        for r in range(16)
+        for s in range(1, 11)
+        if ((r << 4) | s) not in common
+    ]
+    counts = [0] * 16
+    counts[3] = len(common)  # length 4
+    counts[11] = len(rest)  # length 12
+    return bytes(counts), bytes(common + rest)
+
+
+_JPEG_AC_COUNTS, _JPEG_AC_SYMS = _jpeg_ac_spec()
+
+
+def _jpeg_codes(counts: bytes, syms: bytes) -> dict[int, tuple[int, int]]:
+    """symbol → (bit length, code), canonical assignment (T.81 §C.2)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[syms[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # 1-pad
+        return bytes(self.out)
+
+
+def jpeg_from_array(img, quant: int = 1) -> bytes:
+    """Encode a grayscale (h, w) or RGB (h, w, 3) uint8 array as a real
+    BASELINE JPEG (SOF0, 1×1 sampling, flat quantization table of
+    ``quant``). ``quant=1`` keeps every DCT coefficient exact to its
+    rounded value, so a SOLID-color grayscale frame round-trips
+    EXACTLY (all-constant blocks have one integer DC coefficient and the
+    float IDCT reproduces the constant to ≪0.5) — that is what lets the
+    SQL oracle state the decoded values arithmetically. Patterned and
+    color frames round-trip within a small quantization/chroma-rounding
+    bound, asserted in tests."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if not (1 <= int(quant) <= 255):
+        raise ValueError("quant must be in 1..=255 (8-bit DQT)")
+    gray = img.ndim == 2
+    h, w = img.shape[0], img.shape[1]
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [
+            np.clip(np.round(p), 0, 255) for p in (y, cb, cr)
+        ]
+    # pad to whole blocks by edge replication
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    padded = []
+    for p in planes:
+        pp = np.empty((bh * 8, bw * 8), dtype=np.float64)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+    x = np.arange(8, dtype=np.float64)
+    a = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
+    a[0] /= np.sqrt(2.0)
+    q = int(quant)
+    dc_codes = _jpeg_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+    ac_codes = _jpeg_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+    wtr = _JpegBitWriter()
+    pred = [0] * len(planes)
+    for mcu in range(bw * bh):
+        by, bx = divmod(mcu, bw)
+        for ci, p in enumerate(padded):
+            block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coefs = a @ block @ a.T
+            zz = np.round(coefs.flatten()[_JPEG_ZIGZAG] / q).astype(np.int64)
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            s = int(abs(diff)).bit_length()
+            wtr.write(*reversed(dc_codes[s]))
+            if s:
+                wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            nz = np.nonzero(zz[1:])[0]
+            k = 1
+            for pos_nz in nz + 1:
+                run = int(pos_nz) - k
+                while run >= 16:
+                    wtr.write(*reversed(ac_codes[0xF0]))
+                    run -= 16
+                v = int(zz[pos_nz])
+                s = abs(v).bit_length()
+                wtr.write(*reversed(ac_codes[(run << 4) | s]))
+                wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+                k = int(pos_nz) + 1
+            if k < 64:
+                wtr.write(*reversed(ac_codes[0x00]))  # EOB
+    scan = wtr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    qzz = bytes([q] * 64)
+    ncomp = len(planes)
+    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
+        [ncomp]
+    ) + b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(ncomp))
+    sos_body = bytes([ncomp]) + b"".join(
+        bytes([cid + 1, 0x00]) for cid in range(ncomp)
+    ) + bytes([0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + qzz)
+        + seg(0xC0, sof_body)
+        + seg(0xC4, bytes([0x00]) + _JPEG_DC_COUNTS + _JPEG_DC_SYMS)
+        + seg(0xC4, bytes([0x10]) + _JPEG_AC_COUNTS + _JPEG_AC_SYMS)
+        + seg(0xDA, sos_body)
+        + scan
+        + b"\xff\xd9"
+    )
+
+
+def jpeg_for_id(doc_id: int) -> bytes:
+    """Deterministic per-document JPEG: a solid GRAYSCALE frame with the
+    shared geometry contract (width = 4 + id % 13, height = 3 + id % 7)
+    and gray level ``(29·id) % 256``. Grayscale + flat quant=1 makes the
+    lossy codec EXACT on this fixture (constant blocks are DC-only), so
+    the SQL oracle can state red = green = blue = gray."""
+    import numpy as np
+
+    did = int(doc_id)
+    img = np.full((3 + did % 7, 4 + did % 13), (29 * did) % 256, dtype=np.uint8)
+    return jpeg_from_array(img)
+
+
+def with_jpeg_payload(df, id_col: str, out_col: str = "payload"):
+    """Adds a deterministic grayscale-JPEG binary column from ``id_col``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    gen = pandas_udf(
+        lambda ids: ids.map(lambda i: jpeg_for_id(int(i))), BinaryType()
+    )
+    return df.withColumn(out_col, gen(F.col(id_col).cast("long")))
+
+
+def with_gif_payload(df, id_col: str, out_col: str = "payload"):
+    """Adds a deterministic GIF binary column derived from ``id_col``."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    gen = pandas_udf(
+        lambda ids: ids.map(lambda i: gif_for_id(int(i))), BinaryType()
+    )
+    return df.withColumn(out_col, gen(F.col(id_col).cast("long")))
 
 
 def with_png_payload(df, id_col: str, out_col: str = "payload"):

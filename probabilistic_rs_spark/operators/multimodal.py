@@ -9,16 +9,17 @@ contract — schema, Arrow batching, partition sizing — is real and tested:
   sha2 digest, sniffed type) — real.
 * ``decode_and_featurize`` — ``mapInPandas`` batch pipeline with the
   production signature. ``decoder='image'`` is a REAL end-to-end decode
-  path for the two uncompressed raster formats that need no codec
-  library: 24-bit uncompressed BMP (header parse, bottom-up rows, 4-byte
-  row padding, BGR→RGB) and binary PPM ``P6`` — plus, round 6, REAL
-  compressed PNG (stdlib-zlib inflate, chunk CRC, all five scanline
-  unfilters, RGB/RGBA — see ``decode_png``). Formats that genuinely
-  need a codec library (JPEG/GIF/audio/video) raise
-  ``NotImplementedError`` at the exact integration point where a
-  cv2/PIL/ffmpeg hook lands — this container has no such codecs. ``decoder='fake'`` keeps the deterministic
-  byte-histogram stand-in for oracle plumbing tests; a callable is used
-  as the batch decoder directly.
+  path for FIVE raster formats, none needing a codec library: 24-bit
+  uncompressed BMP (header parse, bottom-up rows, 4-byte row padding,
+  BGR→RGB), binary PPM ``P6``, compressed PNG (stdlib-zlib inflate,
+  chunk CRC, all five scanline unfilters, RGB/RGBA — ``decode_png``),
+  GIF (variable-width LZW, local/global color tables, interlace —
+  ``decode_gif``), and baseline JPEG (Huffman + dequant + IDCT,
+  grayscale/4:4:4 — ``decode_jpeg``). Audio/video genuinely need
+  ffmpeg and raise ``NotImplementedError`` at the exact integration
+  point where that hook lands. ``decoder='fake'`` keeps the
+  deterministic byte-histogram stand-in for oracle plumbing tests; a
+  callable is used as the batch decoder directly.
 
 Scale notes: media rows are fat — repartition by size so one Arrow batch
 (``maxRecordsPerBatch``) stays under executor memory; metadata-only ops
@@ -179,9 +180,8 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG (bit depth 8, color type 2 RGB or 6 RGBA, no
     interlace) into an (h, w, 3) uint8 RGB array — a REAL compressed
-    codec with no library beyond stdlib ``zlib`` (round 6: this closed
-    the 'compressed containers raise' integration point for PNG; JPEG
-    still needs a DCT library and still raises honestly).
+    codec with no library beyond stdlib ``zlib`` (round 6; its siblings
+    ``decode_gif`` and ``decode_jpeg`` need no library at all).
 
     Implements the actual format: chunk walk with CRC-32 validation,
     IHDR geometry, concatenated IDAT inflate, and per-scanline unfilter
@@ -264,6 +264,395 @@ def decode_png(data: bytes) -> np.ndarray:
     return img[:, :, :3].copy()
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF's variable-width LZW (GIF89a spec appendix F): codes packed
+    LSB-first, clear/EOI codes, code width grows when the dictionary
+    fills (cap 12 bits). Returns exactly ``n_pixels`` palette indices."""
+    if not (2 <= min_code_size <= 8):
+        raise ValueError(f"bad GIF LZW min code size {min_code_size}")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [None, None]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = bitcnt = pos = 0
+    prev = None
+    while True:
+        while bitcnt < code_size:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << bitcnt
+            bitcnt += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bitcnt -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the cScSc case
+        else:
+            raise ValueError(f"bad GIF LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+        if len(out) >= n_pixels:
+            break
+    if len(out) < n_pixels:
+        raise ValueError(f"GIF pixel data short: {len(out)} < {n_pixels}")
+    return np.frombuffer(bytes(out[:n_pixels]), dtype=np.uint8)
+
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+
+def _dct_basis() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix A (A·A^T = I): the JPEG FDCT is
+    ``A s A^T`` and the IDCT is ``A^T S A`` (ITU-T T.81 §A.3.3 with the
+    1/4·C(u)C(v) scale folded in)."""
+    x = np.arange(8, dtype=np.float64)
+    a = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
+    a[0] /= np.sqrt(2.0)
+    return a
+
+
+_DCT_A = _dct_basis()
+
+
+def _huff_table(counts: bytes, symbols: bytes) -> dict[tuple[int, int], int]:
+    """Canonical JPEG Huffman assignment (T.81 §C.2): (bit length, code)
+    → symbol."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitReader:
+    """MSB-first entropy-segment reader with 0xFF00 unstuffing and RSTn
+    awareness (T.81 §B.1.1.5, §F.2.2.5)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy data")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError(f"unexpected JPEG marker 0xff{nxt:02x} in scan")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def decode_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self, expected: int) -> None:
+        """Consume an RSTn marker between entropy intervals."""
+        self.n = 0  # discard pad bits
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + expected
+        ):
+            raise ValueError(f"missing JPEG restart marker RST{expected}")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """DIFF/coefficient sign extension (T.81 table F.1)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a BASELINE sequential JPEG (SOF0, 8-bit, 1 or 3 components
+    with 1×1 sampling — grayscale / 4:4:4) into an (h, w, 3) uint8 RGB
+    array: a real DCT codec with no library at all. Implements the
+    actual format: marker walk, DQT (8- and 16-bit precision), DHT with
+    canonical code construction, DRI/RSTn restart intervals, the
+    Huffman-coded DC-difference + run-length AC entropy layer with
+    0xFF00 unstuffing, dequantization in zigzag order, float IDCT
+    (orthonormal basis — exact for the DC-only blocks the deterministic
+    fixtures produce), and BT.601 YCbCr→RGB. Chroma-subsampled
+    (4:2:0/4:2:2) and progressive (SOF2) streams raise ``ValueError`` —
+    honest boundaries, same contract as ``decode_png``'s palette/
+    interlace limits. Entropy decoding is per-bit Python (fixture-sized
+    inputs; a production deployment swaps a C codec into the same
+    ``decoder=`` hook)."""
+    if len(data) < 4 or data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(comp_id, tq)])
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xFF:  # legal fill byte (T.81 §B.1.1.2)
+            pos += 1
+            continue
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # SOI / bare RST
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG contains no scan")
+        seg_len = int.from_bytes(data[pos + 2 : pos + 4], "big")
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    vals = np.frombuffer(body, np.uint8, 64, off).astype(np.int64)
+                    off += 64
+                elif pq == 1:
+                    vals = (
+                        np.frombuffer(body, np.uint8, 128, off)
+                        .reshape(64, 2)
+                        .astype(np.int64)
+                    )
+                    vals = (vals[:, 0] << 8) | vals[:, 1]
+                    off += 128
+                else:
+                    raise ValueError(f"bad DQT precision {pq}")
+                qt[tq] = vals  # zigzag order
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off + 17 <= len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                counts = body[off + 1 : off + 17]
+                n = sum(counts)
+                syms = body[off + 17 : off + 17 + n]
+                if len(syms) != n:
+                    raise ValueError("truncated DHT")
+                huff[(tc, th)] = _huff_table(counts, syms)
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise ValueError(f"unsupported JPEG precision {body[0]}")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            ncomp = body[5]
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported JPEG component count {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise ValueError(
+                        "only 1x1 sampling (grayscale/4:4:4) supported, "
+                        f"got H/V 0x{hv:02x}"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF0")
+            h, w, comps = frame
+            ns = body[0]
+            scan = {}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan[cid] = (tt >> 4, tt & 0x0F)
+            if set(scan) != {cid for cid, _ in comps}:
+                raise ValueError("JPEG scan does not cover the frame components")
+            reader = _JpegBitReader(data, pos + 2 + seg_len)
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            planes = [
+                np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps
+            ]
+            pred = [0] * len(comps)
+            rst = 0
+            for mcu in range(bw * bh):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    reader.restart(rst)
+                    rst = (rst + 1) & 7
+                    pred = [0] * len(comps)
+                by, bx = divmod(mcu, bw)
+                for ci, (cid, tq) in enumerate(comps):
+                    td, ta = scan[cid]
+                    dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
+                    if dc_tab is None or ac_tab is None or tq not in qt:
+                        raise ValueError("JPEG scan references missing tables")
+                    coefs = np.zeros(64, dtype=np.int64)
+                    s = reader.decode_symbol(dc_tab)
+                    diff = _jpeg_extend(reader.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    coefs[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_symbol(ac_tab)
+                        r, size = rs >> 4, rs & 0x0F
+                        if size == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("JPEG AC run past block end")
+                        coefs[k] = _jpeg_extend(reader.bits(size), size)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[_ZIGZAG] = coefs * qt[tq]
+                    spatial = _DCT_A.T @ block.reshape(8, 8) @ _DCT_A
+                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
+            out = [
+                np.clip(np.round(p[:h, :w] + 128.0), 0, 255) for p in planes
+            ]
+            if len(out) == 1:
+                return np.repeat(
+                    out[0].astype(np.uint8)[:, :, None], 3, axis=2
+                ).copy()
+            y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+            rgb = np.stack(
+                [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+                axis=2,
+            )
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+        pos += 2 + seg_len
+    raise ValueError("truncated JPEG: no scan data")
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/GIF89a into an (h, w, 3) uint8
+    RGB array — a second real compressed codec next to ``decode_png``,
+    no library at all (GIF's LZW needs only bit twiddling). Handles the
+    actual format: logical-screen + global color table, extension blocks
+    (skipped — animation control/comments don't affect frame-1 pixels),
+    local color tables, interlaced row order, and the variable-width LZW
+    entropy coder with clear/EOI handling. Frames smaller than the
+    logical screen decode at their own geometry (this is a featurizer,
+    not a compositor). Raises ``ValueError`` on corrupt streams."""
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    gct_packed = data[10]
+    pos = 13
+    gct = None
+    if gct_packed & 0x80:
+        n = 2 << (gct_packed & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated GIF global color table")
+        gct = np.frombuffer(data, dtype=np.uint8, count=3 * n, offset=pos).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label then sub-blocks
+            pos += 1
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        if pos + 9 > len(data):
+            raise ValueError("truncated GIF image descriptor")
+        w = int.from_bytes(data[pos + 4 : pos + 6], "little")
+        h = int.from_bytes(data[pos + 6 : pos + 8], "little")
+        packed = data[pos + 8]
+        pos += 9
+        palette = gct
+        if packed & 0x80:  # local color table wins
+            n = 2 << (packed & 0x07)
+            if pos + 3 * n > len(data):
+                raise ValueError("truncated GIF local color table")
+            palette = np.frombuffer(
+                data, dtype=np.uint8, count=3 * n, offset=pos
+            ).reshape(n, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF image has no color table")
+        if w <= 0 or h <= 0:
+            raise ValueError(f"bad GIF dimensions {w}x{h}")
+        min_code_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while pos < len(data) and data[pos] != 0:
+            blen = data[pos]
+            if pos + 1 + blen > len(data):
+                raise ValueError("truncated GIF data sub-block")
+            lzw.extend(data[pos + 1 : pos + 1 + blen])
+            pos += 1 + blen
+        idx = _gif_lzw_decode(bytes(lzw), min_code_size, w * h)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("GIF pixel index outside color table")
+        rows = idx.reshape(h, w)
+        if packed & 0x40:  # interlaced: rows arrive in 4 passes
+            deint = np.empty_like(rows)
+            r = 0
+            for start, step in _GIF_INTERLACE_PASSES:
+                for y in range(start, h, step):
+                    deint[y] = rows[r]
+                    r += 1
+            rows = deint
+        return palette[rows].copy()
+    raise ValueError("truncated GIF: no image block")
+
+
 def image_features(img: np.ndarray) -> np.ndarray:
     """FEATURE_DIM stats of a decoded (h, w, 3) image: geometry + exact
     per-channel mean/std/min/max (channel values scaled to [0, 1]).
@@ -288,12 +677,11 @@ def image_features(img: np.ndarray) -> np.ndarray:
 
 
 def _image_decode_featurize(payloads: pd.Series) -> np.ndarray:
-    """REAL decode→featurize for uncompressed rasters (BMP 24-bit, PPM
-    P6) AND — round 6 — zlib-inflated PNG (8-bit RGB/RGBA). Remaining
-    compressed containers (JPEG/GIF/audio/video) raise
-    ``NotImplementedError`` at the exact point a cv2/PIL/ffmpeg hook
-    lands — honest, since this environment ships no codec libraries
-    beyond stdlib zlib."""
+    """REAL decode→featurize for five raster formats: uncompressed BMP
+    24-bit / PPM P6, zlib-inflated PNG (8-bit RGB/RGBA), LZW GIF, and
+    baseline-DCT JPEG (grayscale / 4:4:4). Audio/video containers raise
+    ``NotImplementedError`` at the exact point an ffmpeg hook lands —
+    honest, since this environment ships no media libraries."""
     out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
     for i, b in enumerate(payloads):
         if b is None or len(b) == 0:
@@ -305,11 +693,14 @@ def _image_decode_featurize(payloads: pd.Series) -> np.ndarray:
             out[i] = image_features(decode_ppm(bb))
         elif bb[:4] == b"\x89PNG":
             out[i] = image_features(decode_png(bb))
+        elif bb[:4] == b"GIF8":
+            out[i] = image_features(decode_gif(bb))
+        elif bb[:3] == b"\xff\xd8\xff":
+            out[i] = image_features(decode_jpeg(bb))
         elif any(bb.startswith(m) for _, m in _MAGIC):
             raise NotImplementedError(
-                "compressed media decoding beyond PNG requires "
-                "cv2/PIL/ffmpeg — inject a batch decoder callable: "
-                "decode_and_featurize(..., decoder=fn)"
+                "audio/video decoding requires ffmpeg — inject a batch "
+                "decoder callable: decode_and_featurize(..., decoder=fn)"
             )
         else:
             raise ValueError("payload is not a decodable raster image")
@@ -325,19 +716,19 @@ def decode_and_featurize(
     """Batch decode + feature extraction over a binary media column.
 
     Returns ``(*id_cols, media_type, n_bytes, features: array<float>)``.
-    ``decoder='image'`` → REAL decode of uncompressed rasters (24-bit
-    BMP / P6 PPM) with exact per-channel statistics; ``decoder='fake'``
-    → deterministic byte-histogram features (plumbing oracle);
-    ``decoder='real'`` → raises ``NotImplementedError`` (compressed
-    codecs need cv2/PIL/ffmpeg — this marks the integration point); a
-    callable → used as the batch decoder (signature: pd.Series[bytes] →
-    np.ndarray (n, FEATURE_DIM)).
+    ``decoder='image'`` → REAL decode of BMP/PPM/PNG/GIF/baseline-JPEG
+    with exact per-channel statistics; ``decoder='fake'`` →
+    deterministic byte-histogram features (plumbing oracle);
+    ``decoder='real'`` → raises ``NotImplementedError`` (audio/video
+    need ffmpeg — this marks the integration point); a callable → used
+    as the batch decoder (signature: pd.Series[bytes] → np.ndarray
+    (n, FEATURE_DIM)).
     """
     if decoder == "real":
         raise NotImplementedError(
-            "decoding beyond BMP/PPM/PNG requires cv2/PIL/ffmpeg — use "
-            "decoder='image' for those rasters (PNG inflates via stdlib "
-            "zlib), or inject a batch decoder callable: "
+            "audio/video decoding requires ffmpeg — use decoder='image' "
+            "for the five raster formats (BMP/PPM/PNG/GIF/baseline "
+            "JPEG), or inject a batch decoder callable: "
             "decode_and_featurize(..., decoder=fn)"
         )
     if decoder == "image":

@@ -115,7 +115,9 @@ class TestFeatures:
         assert out[0, 0] == 4 + 7 % 13
         assert out[1, 15] == 4.0
         assert (out[2] == 0).all() and (out[3] == 0).all()
-        with pytest.raises(NotImplementedError):  # compressed container
+        with pytest.raises(NotImplementedError):  # audio container
+            _image_decode_featurize(pd.Series([b"RIFF\x00\x00\x00\x00WAVE"]))
+        with pytest.raises(ValueError):  # JPEG magic but corrupt stream
             _image_decode_featurize(pd.Series([b"\xff\xd8\xff rest-of-jpeg"]))
         with pytest.raises(ValueError):
             _image_decode_featurize(pd.Series([b"garbage-bytes"]))
@@ -133,7 +135,7 @@ class TestPNG:
         )
 
         for did in (0, 1, 2, 7, 13, 91, 255, 511, 999):
-            img = decode_png(png_for_id(did))  # odd ids are RGBA
+            img = decode_png(png_for_id(did))  # id bit 2 toggles RGBA
             w, h = 4 + did % 13, 3 + did % 7
             assert img.shape == (h, w, 3)
             assert (img[:, :, 0] == did % 256).all()
@@ -238,3 +240,137 @@ class TestPNG:
 
         out = _image_decode_featurize(pd.Series([png_for_id(6)]))
         assert out[0, 0] == 4 + 6 % 13 and out[0, 1] == 3 + 6 % 7
+
+
+class TestGIF:
+    """Round 6b: the real LZW GIF decoder (color tables, interlace,
+    variable code width, table reset) against the independent encoder in
+    datagen — GIF is lossless at ≤256 colors, so round trips are exact."""
+
+    def test_patterned_roundtrip_plain_and_interlaced(self):
+        from probabilistic_rs_spark.datagen import gif_from_array
+        from probabilistic_rs_spark.operators.multimodal import decode_gif
+
+        rng = np.random.default_rng(11)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        img = pal[rng.integers(0, 256, (23, 17))]
+        for interlace in (False, True):
+            out = decode_gif(gif_from_array(img, interlace=interlace))
+            assert out.shape == img.shape
+            assert (out == img).all()
+
+    def test_small_palette_and_lzw_table_reset(self):
+        from probabilistic_rs_spark.datagen import gif_from_array
+        from probabilistic_rs_spark.operators.multimodal import decode_gif
+
+        rng = np.random.default_rng(12)
+        # 3 colors → 2-bit min code size path
+        pal3 = np.array([[0, 0, 0], [255, 0, 0], [0, 0, 255]], dtype=np.uint8)
+        img3 = pal3[rng.integers(0, 3, (9, 31))]
+        assert (decode_gif(gif_from_array(img3)) == img3).all()
+        # big random 256-color frame: LZW table hits 4096 and resets
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        big = pal[rng.integers(0, 256, (128, 130))]
+        assert (decode_gif(gif_from_array(big)) == big).all()
+
+    def test_id_fixture_matches_arithmetic_oracle(self):
+        from probabilistic_rs_spark.datagen import bmp_for_id, gif_for_id
+        from probabilistic_rs_spark.operators.multimodal import (
+            decode_bmp,
+            decode_gif,
+        )
+
+        for did in (0, 1, 2, 4, 6, 91, 255, 999):
+            img = decode_gif(gif_for_id(did))
+            assert img.shape == (3 + did % 7, 4 + did % 13, 3)
+            assert (img == decode_bmp(bmp_for_id(did))).all()
+
+    def test_rejects_corrupt(self):
+        from probabilistic_rs_spark.datagen import gif_for_id
+        from probabilistic_rs_spark.operators.multimodal import decode_gif
+
+        good = gif_for_id(4)
+        with pytest.raises(ValueError, match="not a GIF"):
+            decode_gif(b"NOPE" + good[4:])
+        with pytest.raises(ValueError, match="truncated|no image"):
+            decode_gif(good[:14])
+        # trailer immediately after the screen descriptor: no frame
+        with pytest.raises(ValueError, match="no image"):
+            decode_gif(good[:13] + good[13 : 13 + 3 * 2] + b"\x3b")
+
+
+class TestJPEG:
+    """Round 6b: the real baseline-DCT JPEG decoder (canonical Huffman
+    from DHT, zigzag dequant, float IDCT, YCbCr) against the independent
+    encoder in datagen."""
+
+    def test_solid_gray_fixture_is_exact(self):
+        from probabilistic_rs_spark.datagen import jpeg_for_id
+        from probabilistic_rs_spark.operators.multimodal import decode_jpeg
+
+        for did in (0, 1, 3, 7, 11, 91, 255, 12345):
+            img = decode_jpeg(jpeg_for_id(did))
+            assert img.shape == (3 + did % 7, 4 + did % 13, 3)
+            assert (img == (29 * did) % 256).all()
+
+    def test_patterned_gray_within_quant_bound(self):
+        from probabilistic_rs_spark.datagen import jpeg_from_array
+        from probabilistic_rs_spark.operators.multimodal import decode_jpeg
+
+        rng = np.random.default_rng(13)
+        gray = rng.integers(0, 256, (33, 41), dtype=np.uint8)
+        out = decode_jpeg(jpeg_from_array(gray))
+        assert out.shape == (33, 41, 3)
+        assert (out[:, :, 0] == out[:, :, 1]).all()
+        err = np.abs(out[:, :, 0].astype(int) - gray.astype(int)).max()
+        assert err <= 3  # flat quant=1: rounding error only
+
+    def test_color_within_chroma_bound_and_coarser_quant(self):
+        from probabilistic_rs_spark.datagen import jpeg_from_array
+        from probabilistic_rs_spark.operators.multimodal import decode_jpeg
+
+        rng = np.random.default_rng(14)
+        img = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+        out = decode_jpeg(jpeg_from_array(img))
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+        # a real quant table (q=16) stays visually close on smooth data
+        smooth = np.tile(
+            np.linspace(40, 200, 32, dtype=np.uint8)[None, :, None], (16, 1, 3)
+        )
+        out16 = decode_jpeg(jpeg_from_array(smooth, quant=16))
+        assert np.abs(out16.astype(int) - smooth.astype(int)).mean() < 8
+
+    def test_rejects_corrupt_and_unsupported(self):
+        from probabilistic_rs_spark.datagen import jpeg_for_id
+        from probabilistic_rs_spark.operators.multimodal import decode_jpeg
+
+        good = jpeg_for_id(4)
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"\x89PNG....")
+        with pytest.raises(ValueError, match="truncated|no scan"):
+            decode_jpeg(good[:20])
+        # progressive frame marker is rejected honestly
+        prog = bytearray(good)
+        sof = prog.find(b"\xff\xc0")
+        prog[sof + 1] = 0xC2
+        with pytest.raises(ValueError, match="SOF2"):
+            decode_jpeg(bytes(prog))
+        # subsampled H/V byte is rejected honestly
+        sub = bytearray(good)
+        sub[sof + 11] = 0x22  # component 1 H/V
+        with pytest.raises(ValueError, match="sampling"):
+            decode_jpeg(bytes(sub))
+
+    def test_featurize_dispatches_gif_and_jpeg(self):
+        from probabilistic_rs_spark.datagen import gif_for_id, jpeg_for_id
+        from probabilistic_rs_spark.operators.multimodal import (
+            _image_decode_featurize,
+        )
+
+        import pandas as pd
+
+        out = _image_decode_featurize(
+            pd.Series([gif_for_id(6), jpeg_for_id(7)])
+        )
+        assert out[0, 0] == 4 + 6 % 13 and out[0, 1] == 3 + 6 % 7
+        assert out[1, 0] == 4 + 7 % 13 and out[1, 1] == 3 + 7 % 7
