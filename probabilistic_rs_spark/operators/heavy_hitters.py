@@ -633,23 +633,32 @@ def cms_partitioned_probe(
     2. a LEFT equi-join on (row, block) routes each lookup to the task
        holding that matrix slice (an absent block row is a zero cell —
        ``coalesce``);
-    3. ``min`` over the d values per key, re-joined to the probe rows
-       null-safely.
+    3. ``min`` over the d values per key, re-joined to the probe rows by
+       the key's xxhash64 — never by key value: the matrix was BUILT by
+       grouping on that same hash and every cell derives from it, so
+       equal hashes get identical estimates by construction, and probe
+       keys shuffle as 8 fixed bytes instead of arbitrary-width strings
+       (the compact estimate relation is broadcast-eligible for the
+       rejoin; the hash is non-null even for null keys, which the build
+       counted under the same constant hash).
 
-    Shuffle volume: d·(12 B + key) per distinct probe key + the blocks
-    table — row-count-bounded, never matrix-size-bounded. PERSIST
-    ``blocks_df`` before probing (the probe walks it twice: geometry
-    check + lookup join)."""
+    Shuffle volume: d·20 B per distinct probe key + the blocks table —
+    row-count-bounded, never matrix-size-bounded. PERSIST ``blocks_df``
+    before probing (the probe walks it twice: geometry check + lookup
+    join)."""
     meta = _cms_blocks_meta(blocks_df)
     if meta is None:
         return probe_df.withColumn(out_col, F.lit(0).cast("bigint"))
     d, w, cpb = meta
-    keys = probe_df.select(F.col(key_col).alias("__cmsp_key")).distinct()
-    h = F.xxhash64(F.col("__cmsp_key").cast("string"))
+    pr = probe_df.withColumn(
+        "__cmsph", F.xxhash64(F.col(key_col).cast("string"))
+    )
+    keys = pr.select("__cmsph").distinct()
     e = keys.select(
-        "__cmsp_key", F.explode(F.array(*_cms_cell_structs(h, d, w))).alias("__rc")
+        "__cmsph",
+        F.explode(F.array(*_cms_cell_structs(F.col("__cmsph"), d, w))).alias("__rc"),
     ).select(
-        "__cmsp_key",
+        "__cmsph",
         F.col("__rc.row").alias("row"),
         F.expr(f"CAST(__rc.cell DIV {cpb} AS INT)").alias("block"),
         F.expr(f"CAST(__rc.cell % {cpb} AS INT)").alias("__off"),
@@ -661,10 +670,8 @@ def cms_partitioned_probe(
         F.element_at(F.col("cells"), F.col("__off") + F.lit(1)),
         F.lit(0).cast("bigint"),
     )
-    ests = joined.groupBy("__cmsp_key").agg(F.min(val).alias("__cmsp_est"))
-    out = probe_df.join(
-        ests, F.col(key_col).eqNullSafe(F.col("__cmsp_key")), "left"
-    )
+    ests = joined.groupBy("__cmsph").agg(F.min(val).alias("__cmsp_est"))
+    out = pr.join(ests, ["__cmsph"], "left")
     return out.withColumn(
         out_col, F.coalesce(F.col("__cmsp_est"), F.lit(0).cast("bigint"))
-    ).drop("__cmsp_key", "__cmsp_est")
+    ).drop("__cmsph", "__cmsp_est")

@@ -577,10 +577,17 @@ def windowed_bloom_partitioned_probe(
     3. per-(item, level) count of set bits == k ⇒ that level holds the
        item (a missing block row is an unset bit — the join simply drops
        the test); any level ⇒ member;
-    4. verdicts re-join the probe rows by item value (null-safe).
+    4. verdicts re-join the probe rows by the KM base-hash PAIR
+       ``(h1, h2)``, never by item value: every position — build and
+       probe alike — is a pure function of that pair, so two items with
+       equal pairs get identical verdicts BY CONSTRUCTION and the join
+       is exact. Probe items therefore shuffle as 16 fixed bytes
+       instead of arbitrary-width strings through all three probe-side
+       exchanges (distinct, per-level regroup, verdict rejoin), and the
+       compact verdict relation is broadcast-eligible for the rejoin.
 
-    Shuffle volume: ~k·(8 B + item) per distinct probe item + the blocks
-    table — row-count-bounded, never state-size-bounded. ``num_levels`` /
+    Shuffle volume: ~k·24 B per distinct probe item + the blocks table —
+    row-count-bounded, never state-size-bounded. ``num_levels`` /
     ``as_of`` restrict to the most recent levels (the O(num_levels)
     window list rides a metadata broadcast, not the states).
 
@@ -593,7 +600,7 @@ def windowed_bloom_partitioned_probe(
         return probe_df.withColumn(out_col, F.lit(False))
     m, k, wpb = meta
     from probabilistic_rs_spark.operators.sketch_agg import (
-        native_bloom_position_exprs,
+        native_bloom_base_hash_exprs,
     )
 
     blocks = blocks_df
@@ -613,12 +620,18 @@ def windowed_bloom_partitioned_probe(
             .select("level")
         )
         blocks = blocks.join(F.broadcast(wins), "level")
-    items = probe_df.select(F.col(item_col).alias("__wbp_item")).distinct()
-    pos = native_bloom_position_exprs(F.col("__wbp_item"), m, k)
+    h1e, h2e = native_bloom_base_hash_exprs(F.col(item_col))
+    pr = probe_df.withColumn("__wbh1", h1e).withColumn("__wbh2", h2e)
+    items = pr.select("__wbh1", "__wbh2").distinct()
+    pos = [
+        F.pmod(F.col("__wbh1") + F.lit(int(i)) * F.col("__wbh2"), F.lit(int(m)))
+        for i in range(k)
+    ]
     e = items.select(
-        "__wbp_item", F.explode(F.array(*pos)).alias("__pos")
+        "__wbh1", "__wbh2", F.explode(F.array(*pos)).alias("__pos")
     ).select(
-        "__wbp_item",
+        "__wbh1",
+        "__wbh2",
         F.expr(f"CAST(shiftright(__pos, 6) DIV {wpb} AS INT)").alias("block"),
         F.expr(f"CAST(shiftright(__pos, 6) % {wpb} AS INT)").alias("__widx"),
         F.expr("CAST(__pos & 63 AS INT)").alias("__bit"),
@@ -631,20 +644,21 @@ def windowed_bloom_partitioned_probe(
     per_level = (
         e.join(blocks.select("level", "block", "words"), "block")
         .where(bit_set)
-        .groupBy("__wbp_item", "level")
+        .groupBy("__wbh1", "__wbh2", "level")
         .agg(F.count(F.lit(1)).alias("__nset"))
     )
     members = (
         per_level.where(F.col("__nset") == F.lit(k))
-        .select("__wbp_item")
+        .select("__wbh1", "__wbh2")
         .distinct()
         .withColumn("__wbp_hit", F.lit(True))
     )
-    out = probe_df.join(
-        members, F.col(item_col).eqNullSafe(F.col("__wbp_item")), "left"
-    )
+    # (h1, h2) are non-null even for null items (xxhash64 skips nulls and
+    # finalizes to a constant — the build inserted null items at exactly
+    # those positions too), so a plain equi-join is null-correct
+    out = pr.join(members, ["__wbh1", "__wbh2"], "left")
     return out.withColumn(out_col, F.coalesce(F.col("__wbp_hit"), F.lit(False))).drop(
-        "__wbp_item", "__wbp_hit"
+        "__wbh1", "__wbh2", "__wbp_hit"
     )
 
 

@@ -120,3 +120,93 @@ def test_out_of_order_and_config_wins(spark, tmp_path):
     # unknown family rejected
     with pytest.raises(SketchConfigError, match="family"):
         GenerationLog.create(str(tmp_path / "bad"), "bloomish", "key")
+
+
+class TestStreamingOpsFeed:
+    """Round 6b: micro-batches as generations — the foreachBatch feed
+    over GenerationLog (streaming/ops_feed.py). One parquet file per
+    micro-batch (maxFilesPerTrigger=1), so the stream applies one
+    generation per file; the durable chain must equal the batch-API
+    chain fed the same ops, and a replayed batch must be a no-op."""
+
+    @staticmethod
+    def _write_ops_file(spark, path, lo, hi, op):
+        import time as _t
+
+        df = _ops(spark, lo, hi, op)
+        df.coalesce(1).write.mode("append").parquet(path)
+        _t.sleep(0.05)  # distinct mtimes → deterministic file order
+
+    def test_stream_equals_batch_chain_and_resume(self, spark, tmp_path):
+        from probabilistic_rs_spark.streaming.ops_feed import (
+            start_generation_feed,
+        )
+
+        src = str(tmp_path / "ops-src")
+        ckpt = str(tmp_path / "ckpt")
+        self._write_ops_file(spark, src, 0, 3000, "insert")
+        self._write_ops_file(spark, src, 3000, 5000, "insert")
+
+        log = GenerationLog.create(
+            str(tmp_path / "stream-log"), "cuckoo", "key",
+            capacity=20_000, n_shards=4,
+        )
+        schema = "op string, key string"
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = start_generation_feed(stream, log, ckpt, available_now=True)
+        q.awaitTermination(120)
+        assert log.last_generation() == 2
+
+        # restart the SAME checkpoint after a third file arrives: the
+        # stream resumes at batch 2 → generation 3 (no replay damage)
+        self._write_ops_file(spark, src, 0, 1000, "delete")
+        stream2 = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q2 = start_generation_feed(stream2, log, ckpt, available_now=True)
+        q2.awaitTermination(120)
+        assert log.last_generation() == 3
+
+        # the streamed chain is bit-identical to the batch-API chain
+        ref = GenerationLog.create(
+            str(tmp_path / "batch-log"), "cuckoo", "key",
+            capacity=20_000, n_shards=4,
+        )
+        ref.apply_generation(spark, _ops(spark, 0, 3000, "insert"), 1)
+        ref.apply_generation(spark, _ops(spark, 3000, 5000, "insert"), 2)
+        ref.apply_generation(spark, _ops(spark, 0, 1000, "delete"), 3)
+        assert _state_rows(spark, log, 3) == _state_rows(spark, ref, 3)
+
+        # membership sanity through the log's partitioned probe
+        probes = _ops(spark, 0, 6000, "x").select("key")
+        out = {
+            r["key"]: r["is_member"]
+            for r in log.probe(probes, "key").collect()
+        }
+        assert all(out[f"g{i}"] for i in range(1500, 5000, 377))
+        assert not any(out[f"g{i}"] for i in range(0, 1000, 97))
+        assert not any(out[f"g{i}"] for i in range(5000, 6000, 97))
+
+    def test_replayed_batch_is_noop(self, spark, tmp_path):
+        from probabilistic_rs_spark.streaming.ops_feed import generation_ops_sink
+
+        log = GenerationLog.create(
+            str(tmp_path / "replay-log"), "quotient", "key",
+            capacity=20_000, false_positive_rate=1e-8, shard_bits=3,
+        )
+        sink = generation_ops_sink(log)
+        sink(_ops(spark, 0, 2000, "insert"), 0)
+        before = _state_rows(spark, log, 1)
+        # crash-replay of micro-batch 0: lineage exists → skipped
+        sink(_ops(spark, 0, 2000, "insert"), 0)
+        assert log.last_generation() == 1
+        assert _state_rows(spark, log, 1) == before
+        # a batch id that would skip a generation fails loudly
+        with pytest.raises(SketchConfigError, match="in order"):
+            sink(_ops(spark, 0, 10, "insert"), 5)
