@@ -504,42 +504,60 @@ class _JpegBitWriter:
         return bytes(self.out)
 
 
-def jpeg_from_array(img, quant: int = 1) -> bytes:
+def jpeg_from_array(img, quant: int = 1, subsampling: str = "4:4:4") -> bytes:
     """Encode a grayscale (h, w) or RGB (h, w, 3) uint8 array as a real
-    BASELINE JPEG (SOF0, 1×1 sampling, flat quantization table of
-    ``quant``). ``quant=1`` keeps every DCT coefficient exact to its
-    rounded value, so a SOLID-color grayscale frame round-trips
-    EXACTLY (all-constant blocks have one integer DC coefficient and the
-    float IDCT reproduces the constant to ≪0.5) — that is what lets the
-    SQL oracle state the decoded values arithmetically. Patterned and
-    color frames round-trip within a small quantization/chroma-rounding
-    bound, asserted in tests."""
+    BASELINE JPEG (SOF0, flat quantization table of ``quant``;
+    ``subsampling`` ∈ 4:4:4 / 4:2:2 / 4:2:0 chooses the chroma layout —
+    4:2:0 is the real-world default, box-filtered here). ``quant=1``
+    keeps every DCT coefficient exact to its rounded value, so a
+    SOLID-color grayscale frame round-trips EXACTLY (all-constant blocks
+    have one integer DC coefficient and the float IDCT reproduces the
+    constant to ≪0.5) — that is what lets the SQL oracle state the
+    decoded values arithmetically. Patterned and color frames round-trip
+    within a small quantization/chroma bound, asserted in tests."""
     import numpy as np
 
     img = np.asarray(img, dtype=np.uint8)
     if not (1 <= int(quant) <= 255):
         raise ValueError("quant must be in 1..=255 (8-bit DQT)")
+    factors = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+    if subsampling not in factors:
+        raise ValueError(f"subsampling must be one of {sorted(factors)}")
     gray = img.ndim == 2
     h, w = img.shape[0], img.shape[1]
     if gray:
         planes = [img.astype(np.float64)]
+        hv = [(1, 1)]
     else:
         rgb = img.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [
-            np.clip(np.round(p), 0, 255) for p in (y, cb, cr)
-        ]
-    # pad to whole blocks by edge replication
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+        planes = [np.clip(np.round(p), 0, 255) for p in (y, cb, cr)]
+        sh, sv = factors[subsampling]
+        hv = [(sh, sv), (1, 1), (1, 1)]
+        if (sh, sv) != (1, 1):
+            # box-filter chroma down by (sv, sh) after edge-padding to
+            # whole sampling cells
+            ph, pw = -h % sv, -w % sh
+            for ci in (1, 2):
+                p = planes[ci]
+                p = np.pad(p, ((0, ph), (0, pw)), mode="edge")
+                p = p.reshape(p.shape[0] // sv, sv, p.shape[1] // sh, sh)
+                planes[ci] = np.round(p.mean(axis=(1, 3)))
+    hmax = max(f[0] for f in hv)
+    vmax = max(f[1] for f in hv)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
     padded = []
-    for p in planes:
-        pp = np.empty((bh * 8, bw * 8), dtype=np.float64)
-        pp[:h, :w] = p
-        pp[h:, :w] = p[h - 1 : h, :]
-        pp[:, w:] = pp[:, w - 1 : w]
+    for p, (hc, vc) in zip(planes, hv):
+        th, tw = mcus_y * 8 * vc, mcus_x * 8 * hc
+        pp = np.empty((th, tw), dtype=np.float64)
+        ph, pw = min(p.shape[0], th), min(p.shape[1], tw)
+        pp[:ph, :pw] = p[:ph, :pw]
+        pp[ph:, :pw] = pp[ph - 1 : ph, :pw]
+        pp[:, pw:] = pp[:, pw - 1 : pw]
         padded.append(pp)
     x = np.arange(8, dtype=np.float64)
     a = 0.5 * np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
@@ -549,32 +567,39 @@ def jpeg_from_array(img, quant: int = 1) -> bytes:
     ac_codes = _jpeg_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
     wtr = _JpegBitWriter()
     pred = [0] * len(planes)
-    for mcu in range(bw * bh):
-        by, bx = divmod(mcu, bw)
-        for ci, p in enumerate(padded):
-            block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coefs = a @ block @ a.T
-            zz = np.round(coefs.flatten()[_JPEG_ZIGZAG] / q).astype(np.int64)
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            s = int(abs(diff)).bit_length()
-            wtr.write(*reversed(dc_codes[s]))
-            if s:
-                wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            nz = np.nonzero(zz[1:])[0]
-            k = 1
-            for pos_nz in nz + 1:
-                run = int(pos_nz) - k
-                while run >= 16:
-                    wtr.write(*reversed(ac_codes[0xF0]))
-                    run -= 16
-                v = int(zz[pos_nz])
-                s = abs(v).bit_length()
-                wtr.write(*reversed(ac_codes[(run << 4) | s]))
-                wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
-                k = int(pos_nz) + 1
-            if k < 64:
-                wtr.write(*reversed(ac_codes[0x00]))  # EOB
+
+    def emit_block(block: "np.ndarray", ci: int) -> None:
+        coefs = a @ (block - 128.0) @ a.T
+        zz = np.round(coefs.flatten()[_JPEG_ZIGZAG] / q).astype(np.int64)
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s = int(abs(diff)).bit_length()
+        wtr.write(*reversed(dc_codes[s]))
+        if s:
+            wtr.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        nz = np.nonzero(zz[1:])[0]
+        k = 1
+        for pos_nz in nz + 1:
+            run = int(pos_nz) - k
+            while run >= 16:
+                wtr.write(*reversed(ac_codes[0xF0]))
+                run -= 16
+            v = int(zz[pos_nz])
+            s2 = abs(v).bit_length()
+            wtr.write(*reversed(ac_codes[(run << 4) | s2]))
+            wtr.write(v if v >= 0 else v + (1 << s2) - 1, s2)
+            k = int(pos_nz) + 1
+        if k < 64:
+            wtr.write(*reversed(ac_codes[0x00]))  # EOB
+
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, (p, (hc, vc)) in enumerate(zip(padded, hv)):
+            for blk in range(hc * vc):  # raster order within MCU
+                by, bx = divmod(blk, hc)
+                y0 = (my * vc + by) * 8
+                x0 = (mx * hc + bx) * 8
+                emit_block(p[y0 : y0 + 8, x0 : x0 + 8], ci)
     scan = wtr.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -584,7 +609,10 @@ def jpeg_from_array(img, quant: int = 1) -> bytes:
     ncomp = len(planes)
     sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes(
         [ncomp]
-    ) + b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(ncomp))
+    ) + b"".join(
+        bytes([cid + 1, (hv[cid][0] << 4) | hv[cid][1], 0])
+        for cid in range(ncomp)
+    )
     sos_body = bytes([ncomp]) + b"".join(
         bytes([cid + 1, 0x00]) for cid in range(ncomp)
     ) + bytes([0, 63, 0])

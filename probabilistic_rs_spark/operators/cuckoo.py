@@ -255,7 +255,19 @@ def cuckoo_partitioned_probe(
     Cost model vs :func:`cuckoo_probe`: one exchange of the probe side
     (8-byte hash + carried columns) instead of an all-executor broadcast
     of the whole filter — the right trade exactly when the filter is
-    big."""
+    big.
+
+    Why probe rows ride the cogroup INLINE rather than the
+    distinct-hash + verdict-rejoin shape the windowed-Bloom/CMS
+    partitioned probes use: one shard holds an item's ENTIRE verdict,
+    so a single full-width exchange finishes the job — a dedup pass
+    would add a distinct exchange plus a rejoin that re-shuffles the
+    full-width rows anyway whenever the verdict relation outgrows the
+    broadcast budget. The windowed/CMS probes have no such choice:
+    their k (resp. d) per-item tests land on DIFFERENT block rows and
+    must be regrouped, and once a regroup+rejoin is forced, keying it
+    on the verdict-defining hashes (fixed 8–16 B) beats keying it on
+    arbitrary-width item values."""
     from pyspark.sql.types import BooleanType as _B
 
     ns = _states_df_n_shards(states_df, n_shards)

@@ -411,20 +411,22 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a BASELINE sequential JPEG (SOF0, 8-bit, 1 or 3 components
-    with 1×1 sampling — grayscale / 4:4:4) into an (h, w, 3) uint8 RGB
+    """Decode a BASELINE sequential JPEG (SOF0, 8-bit, grayscale or
+    YCbCr at any integer-ratio sampling — 4:4:4, 4:2:2, and the
+    real-world-default 4:2:0 included) into an (h, w, 3) uint8 RGB
     array: a real DCT codec with no library at all. Implements the
     actual format: marker walk, DQT (8- and 16-bit precision), DHT with
     canonical code construction, DRI/RSTn restart intervals, the
     Huffman-coded DC-difference + run-length AC entropy layer with
-    0xFF00 unstuffing, dequantization in zigzag order, float IDCT
+    0xFF00 unstuffing, interleaved MCU geometry with per-component
+    H×V block rasters, dequantization in zigzag order, float IDCT
     (orthonormal basis — exact for the DC-only blocks the deterministic
-    fixtures produce), and BT.601 YCbCr→RGB. Chroma-subsampled
-    (4:2:0/4:2:2) and progressive (SOF2) streams raise ``ValueError`` —
-    honest boundaries, same contract as ``decode_png``'s palette/
-    interlace limits. Entropy decoding is per-bit Python (fixture-sized
-    inputs; a production deployment swaps a C codec into the same
-    ``decoder=`` hook)."""
+    fixtures produce), nearest-neighbor chroma upsampling, and BT.601
+    YCbCr→RGB. Progressive (SOF2) and other non-baseline frames raise
+    ``ValueError`` — honest boundaries, same contract as
+    ``decode_png``'s palette/interlace limits. Entropy decoding is
+    per-bit Python (fixture-sized inputs; a production deployment swaps
+    a C codec into the same ``decoder=`` hook)."""
     if len(data) < 4 or data[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -489,13 +491,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
-                    raise ValueError(
-                        "only 1x1 sampling (grayscale/4:4:4) supported, "
-                        f"got H/V 0x{hv:02x}"
-                    )
-                comps.append((cid, tq))
-            frame = (h, w, comps)
+                hc, vc = hv >> 4, hv & 0x0F
+                if not (1 <= hc <= 4 and 1 <= vc <= 4):
+                    raise ValueError(f"bad JPEG sampling factors 0x{hv:02x}")
+                comps.append((cid, tq, hc, vc))
+            hmax = max(c[2] for c in comps)
+            vmax = max(c[3] for c in comps)
+            if any(hmax % c[2] or vmax % c[3] for c in comps):
+                raise ValueError(
+                    "non-integer JPEG chroma upsampling ratios not supported"
+                )
+            frame = (h, w, comps, hmax, vmax)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG frame type SOF{marker - 0xC0}")
@@ -504,58 +510,65 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
-            h, w, comps = frame
+            h, w, comps, hmax, vmax = frame
             ns = body[0]
             scan = {}
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan[cid] = (tt >> 4, tt & 0x0F)
-            if set(scan) != {cid for cid, _ in comps}:
+            if set(scan) != {cid for cid, _, _, _ in comps}:
                 raise ValueError("JPEG scan does not cover the frame components")
             reader = _JpegBitReader(data, pos + 2 + seg_len)
-            bw, bh = (w + 7) // 8, (h + 7) // 8
+            mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
             planes = [
-                np.zeros((bh * 8, bw * 8), dtype=np.float64) for _ in comps
+                np.zeros((mcus_y * 8 * vc, mcus_x * 8 * hc), dtype=np.float64)
+                for _, _, hc, vc in comps
             ]
             pred = [0] * len(comps)
             rst = 0
-            for mcu in range(bw * bh):
+            for mcu in range(mcus_x * mcus_y):
                 if restart_interval and mcu and mcu % restart_interval == 0:
                     reader.restart(rst)
                     rst = (rst + 1) & 7
                     pred = [0] * len(comps)
-                by, bx = divmod(mcu, bw)
-                for ci, (cid, tq) in enumerate(comps):
+                my, mx = divmod(mcu, mcus_x)
+                for ci, (cid, tq, hc, vc) in enumerate(comps):
                     td, ta = scan[cid]
                     dc_tab, ac_tab = huff.get((0, td)), huff.get((1, ta))
                     if dc_tab is None or ac_tab is None or tq not in qt:
                         raise ValueError("JPEG scan references missing tables")
-                    coefs = np.zeros(64, dtype=np.int64)
-                    s = reader.decode_symbol(dc_tab)
-                    diff = _jpeg_extend(reader.bits(s), s) if s else 0
-                    pred[ci] += diff
-                    coefs[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode_symbol(ac_tab)
-                        r, size = rs >> 4, rs & 0x0F
-                        if size == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC run past block end")
-                        coefs[k] = _jpeg_extend(reader.bits(size), size)
-                        k += 1
-                    block = np.zeros(64, dtype=np.float64)
-                    block[_ZIGZAG] = coefs * qt[tq]
-                    spatial = _DCT_A.T @ block.reshape(8, 8) @ _DCT_A
-                    planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = spatial
-            out = [
-                np.clip(np.round(p[:h, :w] + 128.0), 0, 255) for p in planes
-            ]
+                    for blk in range(hc * vc):  # raster order within MCU
+                        coefs = np.zeros(64, dtype=np.int64)
+                        s = reader.decode_symbol(dc_tab)
+                        diff = _jpeg_extend(reader.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        coefs[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_tab)
+                            r, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            coefs[k] = _jpeg_extend(reader.bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = coefs * qt[tq]
+                        spatial = _DCT_A.T @ block.reshape(8, 8) @ _DCT_A
+                        by, bx = divmod(blk, hc)
+                        y0 = (my * vc + by) * 8
+                        x0 = (mx * hc + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            out = []
+            for p, (_, _, hc, vc) in zip(planes, comps):
+                up = np.repeat(np.repeat(p, vmax // vc, axis=0), hmax // hc, axis=1)
+                out.append(np.clip(np.round(up[:h, :w] + 128.0), 0, 255))
             if len(out) == 1:
                 return np.repeat(
                     out[0].astype(np.uint8)[:, :, None], 3, axis=2

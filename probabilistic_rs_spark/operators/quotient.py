@@ -314,7 +314,13 @@ def quotient_partitioned_probe(
     per-task memory = one shard run + one probe slice however large the
     filter. Verdict-identical to :func:`quotient_probe` on the merged
     state (same hash, same fingerprints, same kernel). Keys routed to a
-    shard with no state row (no keys at build) are not members."""
+    shard with no state row (no keys at build) are not members.
+
+    Probe rows ride the cogroup inline — one full-width exchange — for
+    the same reason :func:`~probabilistic_rs_spark.operators.cuckoo.
+    cuckoo_partitioned_probe` does (see its docstring): one shard holds
+    an item's entire verdict, so no regroup/rejoin stage exists to
+    optimize, unlike the windowed-Bloom/CMS block probes."""
     s = _qstates_shard_bits(states_df, n_shards)
     probe_cols = list(probe_df.columns)
     if out_col in probe_cols:

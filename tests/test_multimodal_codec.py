@@ -355,11 +355,34 @@ class TestJPEG:
         prog[sof + 1] = 0xC2
         with pytest.raises(ValueError, match="SOF2"):
             decode_jpeg(bytes(prog))
-        # subsampled H/V byte is rejected honestly
+        # zero sampling factor is rejected
         sub = bytearray(good)
-        sub[sof + 11] = 0x22  # component 1 H/V
+        sub[sof + 11] = 0x20  # component 1 H/V: V = 0
         with pytest.raises(ValueError, match="sampling"):
             decode_jpeg(bytes(sub))
+
+    def test_chroma_subsampled_roundtrip(self):
+        """4:2:0 / 4:2:2 — the interleaved-MCU geometry, per-component
+        block rasters, and chroma upsampling against an independent
+        box-filtering encoder."""
+        from probabilistic_rs_spark.datagen import jpeg_from_array
+        from probabilistic_rs_spark.operators.multimodal import decode_jpeg
+
+        # smooth gradients (no wrap discontinuities — those legitimately
+        # smear under chroma subsampling): the round trip stays tight
+        yy, xx = np.mgrid[0:37, 0:45]
+        img = np.stack(
+            [40 + 4 * xx, 60 + 3 * yy, 80 + 2 * (xx + yy)], axis=2
+        ).astype(np.uint8)
+        for mode in ("4:2:0", "4:2:2"):
+            out = decode_jpeg(jpeg_from_array(img, subsampling=mode))
+            assert out.shape == img.shape
+            err = np.abs(out.astype(int) - img.astype(int))
+            assert err.mean() < 6.0 and err.max() <= 24, (mode, err.max())
+        # solid color survives subsampling exactly at quant=1
+        solid = np.tile(np.array([90, 140, 60], np.uint8), (21, 19, 1))
+        out = decode_jpeg(jpeg_from_array(solid, subsampling="4:2:0"))
+        assert np.abs(out.astype(int) - solid.astype(int)).max() <= 1
 
     def test_featurize_dispatches_gif_and_jpeg(self):
         from probabilistic_rs_spark.datagen import gif_for_id, jpeg_for_id
