@@ -1314,34 +1314,12 @@ def _q_media_featurize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     codecs (stride, row order, BGR swap, unfilter path, LZW code-width
     growth, de-interlace, Huffman table build, dequant, IDCT scale)
     breaks the hash match."""
-    from probabilistic_rs_spark.datagen import (
-        with_bmp_payload,
-        with_gif_payload,
-        with_jpeg_payload,
-        with_png_payload,
-    )
+    from probabilistic_rs_spark.datagen import with_media_payload
     from probabilistic_rs_spark.operators.multimodal import decode_and_featurize
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    all4 = with_jpeg_payload(
-        with_gif_payload(
-            with_png_payload(
-                with_bmp_payload(docs, "doc_id", "__bmp"), "doc_id", "__png"
-            ),
-            "doc_id",
-            "__gif",
-        ),
-        "doc_id",
-        "__jpg",
-    )
-    m = F.col("doc_id") % 4
-    payload = all4.select(
-        "doc_id",
-        F.when(m == 0, F.col("__bmp"))
-        .when(m == 1, F.col("__png"))
-        .when(m == 2, F.col("__gif"))
-        .otherwise(F.col("__jpg"))
-        .alias("payload"),
+    payload = with_media_payload(docs, "doc_id", "payload").select(
+        "doc_id", "payload"
     )
     ft = decode_and_featurize(payload, "payload", ["doc_id"], decoder="image")
     f = F.col("features")

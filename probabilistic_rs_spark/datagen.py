@@ -653,6 +653,28 @@ def with_jpeg_payload(df, id_col: str, out_col: str = "payload"):
     return df.withColumn(out_col, gen(F.col(id_col).cast("long")))
 
 
+def media_payload_for_id(doc_id: int) -> bytes:
+    """The 4-codec oracle rotation: ``doc_id % 4`` → BMP / PNG / GIF /
+    grayscale JPEG, all under the shared arithmetic geometry/color
+    contract (JPEG is the grayscale exception — see
+    :func:`jpeg_for_id`)."""
+    did = int(doc_id)
+    return (bmp_for_id, png_for_id, gif_for_id, jpeg_for_id)[did % 4](did)
+
+
+def with_media_payload(df, id_col: str, out_col: str = "payload"):
+    """Adds the rotating 4-codec binary column derived from ``id_col`` —
+    one generator call per row (not four-then-discard)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    gen = pandas_udf(
+        lambda ids: ids.map(lambda i: media_payload_for_id(int(i))), BinaryType()
+    )
+    return df.withColumn(out_col, gen(F.col(id_col).cast("long")))
+
+
 def with_gif_payload(df, id_col: str, out_col: str = "payload"):
     """Adds a deterministic GIF binary column derived from ``id_col``."""
     from pyspark.sql import functions as F

@@ -485,6 +485,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError(f"unsupported JPEG precision {body[0]}")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
+            if h < 1 or w < 1 or h * w > (1 << 26):
+                # bound the plane allocation BEFORE it happens: a corrupt
+                # dims field must fail like every other corruption, not
+                # attempt a multi-GB zeros() (64 MP is far past the
+                # in-line featurizer's fixture contract)
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             ncomp = body[5]
             if ncomp not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {ncomp}")

@@ -535,14 +535,18 @@ def build_windowed_bloom_blocks_df(
     return e.groupBy("level", "block").applyInPandas(scatter, schema)
 
 
-def _blocks_meta(blocks_df: DataFrame) -> tuple[int, int, int] | None:
-    """(m, k, words_per_block) from the self-describing columns — one
-    tiny agg job; raises on a table mixing geometries (probing two
-    builds' blocks at once would silently AND mismatched positions)."""
+def _blocks_meta(blocks_df: DataFrame) -> tuple[int, int, int, list] | None:
+    """(m, k, words_per_block, distinct levels) from the self-describing
+    columns — ONE tiny agg job covers both the geometry check and the
+    window list (`collect_set(level)` is O(active levels), driver-safe by
+    the same argument as the reference's O(num_levels) level metadata).
+    Raises on a table mixing geometries (probing two builds' blocks at
+    once would silently AND mismatched positions)."""
     row = blocks_df.agg(
         F.max("m").alias("m_hi"), F.min("m").alias("m_lo"),
         F.max("k").alias("k_hi"), F.min("k").alias("k_lo"),
         F.max("words_per_block").alias("w_hi"), F.min("words_per_block").alias("w_lo"),
+        F.collect_set("level").alias("levels"),
     ).head()
     if row is None or row["m_hi"] is None:
         return None
@@ -553,7 +557,7 @@ def _blocks_meta(blocks_df: DataFrame) -> tuple[int, int, int] | None:
             f"words_per_block {row['w_lo']}..{row['w_hi']}) — probe one "
             "build's blocks at a time"
         )
-    return int(row["m_hi"]), int(row["k_hi"]), int(row["w_hi"])
+    return int(row["m_hi"]), int(row["k_hi"]), int(row["w_hi"]), list(row["levels"])
 
 
 def windowed_bloom_partitioned_probe(
@@ -598,28 +602,24 @@ def windowed_bloom_partitioned_probe(
     meta = _blocks_meta(blocks_df)
     if meta is None:
         return probe_df.withColumn(out_col, F.lit(False))
-    m, k, wpb = meta
+    m, k, wpb, levels = meta
     from probabilistic_rs_spark.operators.sketch_agg import (
         native_bloom_base_hash_exprs,
     )
 
     blocks = blocks_df
     if num_levels is not None or as_of is not None:
-        from pyspark.sql import Window as W
-
         nl = 3 if num_levels is None else int(num_levels)
         if not (0 < nl <= 255):
             raise SketchConfigError("num_levels must be in 1..=255")
         if as_of is not None:
-            blocks = blocks.where(F.col("level") <= F.lit(as_of))
-        wins = (
-            blocks.select("level")
-            .distinct()
-            .withColumn("__rk", F.dense_rank().over(W.orderBy(F.desc("level"))))
-            .where(F.col("__rk") <= nl)
-            .select("level")
-        )
-        blocks = blocks.join(F.broadcast(wins), "level")
+            levels = [lv for lv in levels if lv <= as_of]
+        keep = sorted(levels, reverse=True)[:nl]
+        if not keep:
+            return probe_df.withColumn(out_col, F.lit(False))
+        # the level list came back with the geometry agg (O(levels));
+        # an isin literal beats a dense_rank subquery + broadcast join
+        blocks = blocks.where(F.col("level").isin(keep))
     h1e, h2e = native_bloom_base_hash_exprs(F.col(item_col))
     pr = probe_df.withColumn("__wbh1", h1e).withColumn("__wbh2", h2e)
     items = pr.select("__wbh1", "__wbh2").distinct()

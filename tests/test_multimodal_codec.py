@@ -397,3 +397,61 @@ class TestJPEG:
         )
         assert out[0, 0] == 4 + 6 % 13 and out[0, 1] == 3 + 6 % 7
         assert out[1, 0] == 4 + 7 % 13 and out[1, 1] == 3 + 7 % 7
+
+
+class TestCodecRobustness:
+    """Deterministic corruption sweep over all four real codecs: any
+    truncation or single-byte flip must either raise ValueError (clean
+    rejection) or decode to a valid (h, w, 3) uint8 array (flips in
+    pixel payloads legitimately decode to different pixels) — never an
+    unbounded allocation, hang, or foreign exception type."""
+
+    @staticmethod
+    def _assault(decode, good: bytes):
+        # truncations at a spread of cut points
+        for cut in range(0, len(good), max(1, len(good) // 23)):
+            try:
+                out = decode(good[:cut])
+                assert out.ndim == 3 and out.shape[2] == 3
+            except ValueError:
+                pass
+        # single-byte flips at a spread of positions, incl. header bytes
+        for pos in list(range(min(64, len(good)))) + list(
+            range(0, len(good), max(1, len(good) // 41))
+        ):
+            bad = bytearray(good)
+            bad[pos] ^= 0x5A
+            try:
+                out = decode(bytes(bad))
+                assert out.ndim == 3 and out.shape[2] == 3
+            except ValueError:
+                pass
+
+    def test_all_codecs_reject_or_decode_cleanly(self):
+        from probabilistic_rs_spark.datagen import (
+            bmp_for_id,
+            gif_for_id,
+            jpeg_for_id,
+            png_for_id,
+        )
+        from probabilistic_rs_spark.operators.multimodal import (
+            decode_bmp,
+            decode_gif,
+            decode_jpeg,
+            decode_png,
+        )
+
+        self._assault(decode_bmp, bmp_for_id(37))
+        self._assault(decode_png, png_for_id(37))
+        self._assault(decode_gif, gif_for_id(37))
+        self._assault(decode_jpeg, jpeg_for_id(37))
+
+    def test_jpeg_dims_bomb_rejected(self):
+        from probabilistic_rs_spark.datagen import jpeg_for_id
+        from probabilistic_rs_spark.operators.multimodal import decode_jpeg
+
+        good = bytearray(jpeg_for_id(4))
+        sof = good.find(b"\xff\xc0")
+        good[sof + 5 : sof + 9] = (65535).to_bytes(2, "big") * 2  # h=w=65535
+        with pytest.raises(ValueError, match="implausible"):
+            decode_jpeg(bytes(good))
