@@ -653,6 +653,52 @@ def with_jpeg_payload(df, id_col: str, out_col: str = "payload"):
     return df.withColumn(out_col, gen(F.col(id_col).cast("long")))
 
 
+def wav_from_array(samples, rate: int = 8000) -> bytes:
+    """Encode an (n_frames, channels) int16 array as a PCM RIFF/WAVE
+    file — raw little-endian samples behind the standard fmt/data
+    chunks, so ``decode_wav`` round-trips EXACTLY (PCM is lossless). A
+    junk ``LIST`` chunk with an odd length is included to exercise the
+    decoder's chunk-skip + word-alignment path."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    byte_rate = rate * ch * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + ch.to_bytes(2, "little")
+        + int(rate).to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    junk = b"inf"  # odd length: next chunk starts on the padded boundary
+    data = s.tobytes()
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"LIST" + len(junk).to_bytes(4, "little") + junk + b"\x00"
+        + b"data" + len(data).to_bytes(4, "little") + data
+    )
+    return b"RIFF" + (len(body)).to_bytes(4, "little") + body
+
+
+def wav_for_id(doc_id: int) -> bytes:
+    """Deterministic per-document mono square wave: ``64 + id % 191``
+    frames at 8 kHz alternating ``±(256·(1 + id % 100))`` every 4
+    frames — every ``audio_features`` slot is an exact arithmetic
+    function of the id."""
+    import numpy as np
+
+    did = int(doc_id)
+    n = 64 + did % 191
+    amp = 256 * (1 + did % 100)
+    frames = np.where((np.arange(n) // 4) % 2 == 0, amp, -amp).astype("<i2")
+    return wav_from_array(frames, rate=8000)
+
+
 def media_payload_for_id(doc_id: int) -> bytes:
     """The 4-codec oracle rotation: ``doc_id % 4`` → BMP / PNG / GIF /
     grayscale JPEG, all under the shared arithmetic geometry/color

@@ -15,7 +15,9 @@ contract — schema, Arrow batching, partition sizing — is real and tested:
   chunk CRC, all five scanline unfilters, RGB/RGBA — ``decode_png``),
   GIF (variable-width LZW, local/global color tables, interlace —
   ``decode_gif``), and baseline JPEG (Huffman + dequant + IDCT,
-  grayscale/4:4:4 — ``decode_jpeg``). Audio/video genuinely need
+  grayscale and 4:4:4–4:2:0 subsampling — ``decode_jpeg``).
+  ``decoder='media'`` adds PCM RIFF/WAVE audio (``decode_wav`` →
+  ``audio_features``). Only COMPRESSED audio and video genuinely need
   ffmpeg and raise ``NotImplementedError`` at the exact integration
   point where that hook lands. ``decoder='fake'`` keeps the
   deterministic byte-histogram stand-in for oracle plumbing tests; a
@@ -672,6 +674,105 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("truncated GIF: no image block")
 
 
+def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
+    """Decode a RIFF/WAVE file with uncompressed PCM samples (format tag
+    1, 8/16/32-bit) into ``(sample_rate, samples)`` where ``samples`` is
+    an (n_frames, channels) float64 array scaled to [-1, 1] — audio
+    needs no codec library until compression enters (MP3/AAC/etc. stay
+    at the ffmpeg hook). Walks the actual chunk structure (``fmt `` /
+    ``data`` plus arbitrary skipped chunks, word-aligned sizes);
+    raises ``ValueError`` on corrupt or compressed streams."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        clen = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"truncated WAV chunk {cid!r}")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("short WAV fmt chunk")
+            tag = int.from_bytes(body[0:2], "little")
+            if tag != 1:
+                raise ValueError(
+                    f"compressed WAV (format tag {tag}) needs ffmpeg — "
+                    "only PCM decodes here"
+                )
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if channels < 1 or rate < 1 or bits not in (8, 16, 32):
+                raise ValueError(
+                    f"bad WAV geometry: {channels} ch, {rate} Hz, {bits}-bit"
+                )
+            fmt = (channels, rate, bits)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    channels, rate, bits = fmt
+    width = bits // 8
+    n = len(pcm) // (width * channels)
+    if n == 0:
+        raise ValueError("WAV data chunk holds no complete frame")
+    raw = np.frombuffer(pcm, dtype={8: np.uint8, 16: "<i2", 32: "<i4"}[bits],
+                        count=n * channels)
+    if bits == 8:  # 8-bit WAV is unsigned
+        x = (raw.astype(np.float64) - 128.0) / 128.0
+    else:
+        x = raw.astype(np.float64) / float(1 << (bits - 1))
+    return rate, x.reshape(n, channels)
+
+
+def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM stats of decoded PCM: geometry (rate, frames,
+    channels, seconds) + channel-pooled amplitude stats (mean, rms,
+    peak, min, max, zero-crossing rate) — the audio twin of
+    ``image_features``, exact functions of the samples so an oracle can
+    state them for deterministic fixtures."""
+    n, ch = samples.shape
+    mono = samples.mean(axis=1)
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[0] = rate
+    out[1] = n
+    out[2] = ch
+    out[3] = n / rate
+    out[4] = samples.mean()
+    out[5] = float(np.sqrt((samples**2).mean()))
+    out[6] = float(np.abs(samples).max())
+    out[7] = samples.min()
+    out[8] = samples.max()
+    out[9] = float((np.signbit(mono[1:]) != np.signbit(mono[:-1])).mean()) if n > 1 else 0.0
+    return out
+
+
+def _media_decode_featurize(payloads: pd.Series) -> np.ndarray:
+    """REAL decode→featurize across modalities: the five raster formats
+    via ``_image_decode_featurize``'s codecs, PLUS PCM RIFF/WAVE audio
+    (``decode_wav`` → ``audio_features``). Only compressed audio and
+    video still raise at the ffmpeg hook."""
+    out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
+    for i, b in enumerate(payloads):
+        if b is None or len(b) == 0:
+            continue
+        bb = bytes(b)
+        if bb[:4] == b"RIFF":
+            if bb[8:12] != b"WAVE":
+                raise NotImplementedError(
+                    "non-WAVE RIFF (video/AVI) requires ffmpeg — inject a "
+                    "batch decoder callable"
+                )
+            out[i] = audio_features(*decode_wav(bb))
+        else:
+            out[i] = _image_features_of(bb)
+    return out
+
+
 def image_features(img: np.ndarray) -> np.ndarray:
     """FEATURE_DIM stats of a decoded (h, w, 3) image: geometry + exact
     per-channel mean/std/min/max (channel values scaled to [0, 1]).
@@ -695,34 +796,39 @@ def image_features(img: np.ndarray) -> np.ndarray:
     return out
 
 
+def _image_features_of(bb: bytes) -> np.ndarray:
+    """One payload through the raster dispatch (shared by the image-only
+    and cross-modal featurizers)."""
+    if bb[:2] == b"BM":
+        return image_features(decode_bmp(bb))
+    if bb[:2] == b"P6":
+        return image_features(decode_ppm(bb))
+    if bb[:4] == b"\x89PNG":
+        return image_features(decode_png(bb))
+    if bb[:4] == b"GIF8":
+        return image_features(decode_gif(bb))
+    if bb[:3] == b"\xff\xd8\xff":
+        return image_features(decode_jpeg(bb))
+    if any(bb.startswith(m) for _, m in _MAGIC):
+        raise NotImplementedError(
+            "audio/video decoding requires ffmpeg — inject a batch "
+            "decoder callable: decode_and_featurize(..., decoder=fn) "
+            "(PCM WAV decodes via decoder='media')"
+        )
+    raise ValueError("payload is not a decodable raster image")
+
+
 def _image_decode_featurize(payloads: pd.Series) -> np.ndarray:
     """REAL decode→featurize for five raster formats: uncompressed BMP
     24-bit / PPM P6, zlib-inflated PNG (8-bit RGB/RGBA), LZW GIF, and
-    baseline-DCT JPEG (grayscale / 4:4:4). Audio/video containers raise
-    ``NotImplementedError`` at the exact point an ffmpeg hook lands —
-    honest, since this environment ships no media libraries."""
+    baseline-DCT JPEG (grayscale / subsampled 4:4:4–4:2:0). Audio/video
+    containers raise ``NotImplementedError`` here; PCM WAV decodes in
+    the cross-modal ``decoder='media'`` path."""
     out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
     for i, b in enumerate(payloads):
         if b is None or len(b) == 0:
             continue
-        bb = bytes(b)
-        if bb[:2] == b"BM":
-            out[i] = image_features(decode_bmp(bb))
-        elif bb[:2] == b"P6":
-            out[i] = image_features(decode_ppm(bb))
-        elif bb[:4] == b"\x89PNG":
-            out[i] = image_features(decode_png(bb))
-        elif bb[:4] == b"GIF8":
-            out[i] = image_features(decode_gif(bb))
-        elif bb[:3] == b"\xff\xd8\xff":
-            out[i] = image_features(decode_jpeg(bb))
-        elif any(bb.startswith(m) for _, m in _MAGIC):
-            raise NotImplementedError(
-                "audio/video decoding requires ffmpeg — inject a batch "
-                "decoder callable: decode_and_featurize(..., decoder=fn)"
-            )
-        else:
-            raise ValueError("payload is not a decodable raster image")
+        out[i] = _image_features_of(bytes(b))
     return out
 
 
@@ -736,22 +842,25 @@ def decode_and_featurize(
 
     Returns ``(*id_cols, media_type, n_bytes, features: array<float>)``.
     ``decoder='image'`` → REAL decode of BMP/PPM/PNG/GIF/baseline-JPEG
-    with exact per-channel statistics; ``decoder='fake'`` →
-    deterministic byte-histogram features (plumbing oracle);
-    ``decoder='real'`` → raises ``NotImplementedError`` (audio/video
-    need ffmpeg — this marks the integration point); a callable → used
-    as the batch decoder (signature: pd.Series[bytes] → np.ndarray
-    (n, FEATURE_DIM)).
+    with exact per-channel statistics; ``decoder='media'`` → the same
+    rasters PLUS PCM RIFF/WAVE audio (``audio_features`` slots);
+    ``decoder='fake'`` → deterministic byte-histogram features
+    (plumbing oracle); ``decoder='real'`` → raises
+    ``NotImplementedError`` (compressed audio/video need ffmpeg — this
+    marks the integration point); a callable → used as the batch
+    decoder (signature: pd.Series[bytes] → np.ndarray (n, FEATURE_DIM)).
     """
     if decoder == "real":
         raise NotImplementedError(
-            "audio/video decoding requires ffmpeg — use decoder='image' "
-            "for the five raster formats (BMP/PPM/PNG/GIF/baseline "
-            "JPEG), or inject a batch decoder callable: "
+            "compressed audio/video decoding requires ffmpeg — use "
+            "decoder='media' for the five raster formats + PCM WAV, or "
+            "inject a batch decoder callable: "
             "decode_and_featurize(..., decoder=fn)"
         )
     if decoder == "image":
         decode_fn = _image_decode_featurize
+    elif decoder == "media":
+        decode_fn = _media_decode_featurize
     else:
         decode_fn = _fake_decode_featurize if decoder == "fake" else decoder
 

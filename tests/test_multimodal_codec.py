@@ -455,3 +455,75 @@ class TestCodecRobustness:
         good[sof + 5 : sof + 9] = (65535).to_bytes(2, "big") * 2  # h=w=65535
         with pytest.raises(ValueError, match="implausible"):
             decode_jpeg(bytes(good))
+
+
+class TestWAV:
+    """Round 6b: PCM RIFF/WAVE — audio is now a real decode path (raw
+    PCM needs no codec); only compressed audio/video remain at the
+    ffmpeg hook."""
+
+    def test_roundtrip_mono_and_stereo(self):
+        from probabilistic_rs_spark.datagen import wav_from_array
+        from probabilistic_rs_spark.operators.multimodal import decode_wav
+
+        rng = np.random.default_rng(16)
+        mono = rng.integers(-32768, 32768, 500, dtype=np.int16)
+        rate, out = decode_wav(wav_from_array(mono, rate=16000))
+        assert rate == 16000 and out.shape == (500, 1)
+        np.testing.assert_array_equal(
+            (out[:, 0] * 32768).astype(np.int16), mono
+        )
+        stereo = rng.integers(-32768, 32768, (300, 2), dtype=np.int16)
+        rate, out = decode_wav(wav_from_array(stereo, rate=44100))
+        assert rate == 44100 and out.shape == (300, 2)
+        np.testing.assert_array_equal((out * 32768).astype(np.int16), stereo)
+
+    def test_id_fixture_features_are_arithmetic(self):
+        from probabilistic_rs_spark.datagen import wav_for_id
+        from probabilistic_rs_spark.operators.multimodal import (
+            audio_features,
+            decode_wav,
+        )
+
+        for did in (0, 1, 7, 99, 100, 9999):
+            f = audio_features(*decode_wav(wav_for_id(did)))
+            n = 64 + did % 191
+            amp = 256 * (1 + did % 100) / 32768.0
+            assert f[0] == 8000.0 and f[1] == n and f[2] == 1.0
+            np.testing.assert_allclose(f[3], n / 8000.0, rtol=1e-6)
+            np.testing.assert_allclose(f[5], amp, rtol=1e-6)  # rms of ±amp
+            np.testing.assert_allclose(f[6], amp, rtol=1e-6)  # peak
+            np.testing.assert_allclose(f[7], -amp, rtol=1e-6)
+            np.testing.assert_allclose(f[8], amp, rtol=1e-6)
+
+    def test_rejects_compressed_and_corrupt(self):
+        from probabilistic_rs_spark.datagen import wav_for_id
+        from probabilistic_rs_spark.operators.multimodal import decode_wav
+
+        good = bytearray(wav_for_id(4))
+        with pytest.raises(ValueError, match="not a RIFF"):
+            decode_wav(b"FFIR" + bytes(good[4:]))
+        fmt_off = bytes(good).find(b"fmt ") + 8
+        comp = bytearray(good)
+        comp[fmt_off] = 85  # format tag 85 = MP3
+        with pytest.raises(ValueError, match="compressed WAV"):
+            decode_wav(bytes(comp))
+        with pytest.raises(ValueError, match="truncated|missing"):
+            decode_wav(bytes(good[:40]))
+
+    def test_media_decoder_dispatches_audio_and_images(self):
+        import pandas as pd
+
+        from probabilistic_rs_spark.datagen import gif_for_id, wav_for_id
+        from probabilistic_rs_spark.operators.multimodal import (
+            _media_decode_featurize,
+        )
+
+        out = _media_decode_featurize(
+            pd.Series([wav_for_id(3), gif_for_id(6), None])
+        )
+        assert out[0, 0] == 8000.0 and out[0, 2] == 1.0
+        assert out[1, 0] == 4 + 6 % 13
+        assert (out[2] == 0).all()
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            _media_decode_featurize(pd.Series([b"RIFF\x00\x00\x00\x00AVI "]))
