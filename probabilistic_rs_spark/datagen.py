@@ -699,6 +699,66 @@ def wav_for_id(doc_id: int) -> bytes:
     return wav_from_array(frames, rate=8000)
 
 
+def avi_mjpeg_from_frames(jpeg_frames, width: int, height: int, fps: int = 10) -> bytes:
+    """Wrap already-encoded JPEG frames in a minimal-but-real MJPEG AVI:
+    RIFF ``AVI `` → ``hdrl`` LIST (``avih`` main header + ``strl`` with a
+    ``vids``/``MJPG`` stream header and BITMAPINFOHEADER) → ``movi``
+    LIST of word-aligned ``00dc`` chunks. The engine's
+    ``decode_avi_mjpeg`` must recover frame count, timing, and every
+    sampled frame's pixels."""
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + len(body).to_bytes(4, "little") + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(jpeg_frames)
+    uspf = int(1_000_000 // fps)
+    max_bytes = max(len(f) for f in jpeg_frames) if n else 0
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in (uspf, max_bytes * fps, 0, 0x10, n, 0, 1, max_bytes,
+                  width, height, 0, 0, 0, 0)
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + b"".join(v.to_bytes(4, "little") for v in (0, 0, 0, 1, fps, 0, n,
+                                                     max_bytes, 0xFFFFFFFF, 0))
+        + (0).to_bytes(8, "little")  # rcFrame
+    )
+    strf = b"".join(
+        v.to_bytes(4, "little")
+        for v in (40, width, height, (24 << 16) | 1, 0x47504A4D,  # 'MJPG'
+                  width * height * 3, 0, 0, 0, 0)
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def avi_for_id(doc_id: int, n_frames: int = 8, fps: int = 10) -> bytes:
+    """Deterministic per-document MJPEG AVI: ``n_frames`` solid
+    GRAYSCALE JPEG frames (exact at quant=1), frame f's gray =
+    ``(29·id + 16·f) % 256``, shared geometry contract — every
+    ``video_features`` slot is an arithmetic function of the id."""
+    import numpy as np
+
+    did = int(doc_id)
+    w, h = 4 + did % 13, 3 + did % 7
+    frames = [
+        jpeg_from_array(
+            np.full((h, w), (29 * did + 16 * f) % 256, dtype=np.uint8)
+        )
+        for f in range(n_frames)
+    ]
+    return avi_mjpeg_from_frames(frames, w, h, fps=fps)
+
+
 def media_payload_for_id(doc_id: int) -> bytes:
     """The 4-codec oracle rotation: ``doc_id % 4`` → BMP / PNG / GIF /
     grayscale JPEG, all under the shared arithmetic geometry/color

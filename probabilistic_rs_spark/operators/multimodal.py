@@ -729,6 +729,88 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     return rate, x.reshape(n, channels)
 
 
+def decode_avi_mjpeg(
+    data: bytes, sample_every: int = 1, max_frames: int = 64
+) -> tuple[float, int, list[np.ndarray]]:
+    """Decode an MJPEG-in-AVI video into ``(fps, total_frames, sampled
+    frames)`` — every ``sample_every``-th frame (capped at
+    ``max_frames``) through the in-repo baseline JPEG decoder, so VIDEO
+    needs no library either until modern codecs enter (H.264/VP9/AV1
+    stay at the ffmpeg hook). Walks the real RIFF structure: the
+    ``hdrl`` LIST's ``avih`` header for frame timing/count, the ``movi``
+    LIST's ``..dc``/``..db`` chunks for frame payloads (word-aligned),
+    ``idx1``/other chunks skipped. Frame sampling IS the production
+    shape: a featurizer never decodes every frame of every video."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    step = max(1, int(sample_every))
+    us_per_frame = None
+    total_declared = None
+    frames: list[np.ndarray] = []
+    seen = 0
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal us_per_frame, total_declared, seen
+        pos = lo
+        while pos + 8 <= hi:
+            cid = data[pos : pos + 4]
+            clen = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body_lo, body_hi = pos + 8, pos + 8 + clen
+            if body_hi > hi:
+                raise ValueError(f"truncated AVI chunk {cid!r}")
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list-type fourcc
+            elif cid == b"avih":
+                if clen < 20:
+                    raise ValueError("short AVI main header")
+                # AVIMAINHEADER: dwMicroSecPerFrame @0, dwTotalFrames @16
+                us_per_frame = int.from_bytes(data[body_lo : body_lo + 4], "little")
+                total_declared = int.from_bytes(
+                    data[body_lo + 16 : body_lo + 20], "little"
+                )
+            elif len(cid) == 4 and cid[2:4] in (b"dc", b"db"):
+                if seen % step == 0 and len(frames) < max_frames:
+                    payload = data[body_lo:body_hi]
+                    if payload[:3] != b"\xff\xd8\xff":
+                        raise ValueError(
+                            "non-MJPEG AVI video stream requires ffmpeg — "
+                            "inject a batch decoder callable"
+                        )
+                    frames.append(decode_jpeg(payload))
+                seen += 1
+            pos = body_hi + (clen & 1)  # chunks are word-aligned
+
+    walk(12, len(data))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    fps = 1e6 / us_per_frame if us_per_frame else 0.0
+    total = total_declared if total_declared else seen
+    return fps, int(total), frames
+
+
+def video_features(fps: float, total_frames: int, frames: list[np.ndarray]) -> np.ndarray:
+    """FEATURE_DIM stats of a sampled frame stack: geometry (w, h,
+    total frames, fps, duration, frames sampled) + channel means over
+    the samples + mean |luma delta| between consecutive sampled frames
+    (a motion proxy) — exact functions of the frames so an oracle can
+    state them for deterministic fixtures."""
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    stack = np.stack([f.reshape(-1, 3).mean(axis=0) for f in frames]) / 255.0
+    luma = np.array(
+        [float(f.astype(np.float64).mean()) for f in frames]
+    )
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[0] = w
+    out[1] = h
+    out[2] = total_frames
+    out[3] = fps
+    out[4] = total_frames / fps if fps else 0.0
+    out[5] = len(frames)
+    out[6:9] = stack.mean(axis=0)
+    out[9] = float(np.abs(np.diff(luma)).mean()) / 255.0 if len(frames) > 1 else 0.0
+    return out
+
+
 def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
     """FEATURE_DIM stats of decoded PCM: geometry (rate, frames,
     channels, seconds) + channel-pooled amplitude stats (mean, rms,
@@ -752,22 +834,27 @@ def audio_features(rate: int, samples: np.ndarray) -> np.ndarray:
 
 
 def _media_decode_featurize(payloads: pd.Series) -> np.ndarray:
-    """REAL decode→featurize across modalities: the five raster formats
-    via ``_image_decode_featurize``'s codecs, PLUS PCM RIFF/WAVE audio
-    (``decode_wav`` → ``audio_features``). Only compressed audio and
-    video still raise at the ffmpeg hook."""
+    """REAL decode→featurize across ALL THREE modalities: the five
+    raster formats via ``_image_decode_featurize``'s codecs, PCM
+    RIFF/WAVE audio (``decode_wav`` → ``audio_features``), and
+    MJPEG-in-AVI video (``decode_avi_mjpeg`` with frame sampling →
+    ``video_features``). Only modern compressed codecs (MP3/AAC,
+    H.264/VP9/…) still raise at the ffmpeg hook."""
     out = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
     for i, b in enumerate(payloads):
         if b is None or len(b) == 0:
             continue
         bb = bytes(b)
         if bb[:4] == b"RIFF":
-            if bb[8:12] != b"WAVE":
+            if bb[8:12] == b"WAVE":
+                out[i] = audio_features(*decode_wav(bb))
+            elif bb[8:12] == b"AVI ":
+                out[i] = video_features(*decode_avi_mjpeg(bb, sample_every=4))
+            else:
                 raise NotImplementedError(
-                    "non-WAVE RIFF (video/AVI) requires ffmpeg — inject a "
+                    "unknown RIFF container requires ffmpeg — inject a "
                     "batch decoder callable"
                 )
-            out[i] = audio_features(*decode_wav(bb))
         else:
             out[i] = _image_features_of(bb)
     return out

@@ -526,4 +526,97 @@ class TestWAV:
         assert out[1, 0] == 4 + 6 % 13
         assert (out[2] == 0).all()
         with pytest.raises(NotImplementedError, match="ffmpeg"):
-            _media_decode_featurize(pd.Series([b"RIFF\x00\x00\x00\x00AVI "]))
+            _media_decode_featurize(pd.Series([b"RIFF\x00\x00\x00\x00RMID"]))
+
+
+class TestAVI:
+    """Round 6b: MJPEG-in-AVI video — the RIFF walk + per-frame baseline
+    JPEG decode + frame sampling. All three modalities now have a real
+    dependency-free decode path; only modern compressed codecs remain
+    at the ffmpeg hook."""
+
+    def test_roundtrip_timing_and_exact_frames(self):
+        from probabilistic_rs_spark.datagen import avi_for_id
+        from probabilistic_rs_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            video_features,
+        )
+
+        for did in (0, 1, 7, 91, 255):
+            fps, total, frames = decode_avi_mjpeg(avi_for_id(did))
+            w, h = 4 + did % 13, 3 + did % 7
+            assert (fps, total, len(frames)) == (10.0, 8, 8)
+            for f, fr in enumerate(frames):
+                assert fr.shape == (h, w, 3)
+                assert (fr == (29 * did + 16 * f) % 256).all()
+            v = video_features(fps, total, frames)
+            assert v[0] == w and v[1] == h and v[2] == 8
+            assert v[3] == 10.0 and v[5] == 8
+            np.testing.assert_allclose(v[4], 0.8, rtol=1e-6)  # 8 / 10 fps
+
+    def test_frame_sampling(self):
+        from probabilistic_rs_spark.datagen import avi_for_id
+        from probabilistic_rs_spark.operators.multimodal import decode_avi_mjpeg
+
+        _, total, all_frames = decode_avi_mjpeg(avi_for_id(5))
+        _, total2, sampled = decode_avi_mjpeg(avi_for_id(5), sample_every=3)
+        assert total2 == total == 8
+        assert len(sampled) == 3  # frames 0, 3, 6
+        assert (sampled[1] == all_frames[3]).all()
+        _, _, capped = decode_avi_mjpeg(avi_for_id(5), max_frames=2)
+        assert len(capped) == 2
+
+    def test_rejects_non_mjpeg_and_corrupt(self):
+        from probabilistic_rs_spark.datagen import avi_for_id
+        from probabilistic_rs_spark.operators.multimodal import decode_avi_mjpeg
+
+        good = avi_for_id(3)
+        bad = bytearray(good)
+        off = bytes(bad).find(b"00dc") + 8
+        bad[off : off + 3] = b"\x00\x00\x00"
+        with pytest.raises(ValueError, match="non-MJPEG"):
+            decode_avi_mjpeg(bytes(bad))
+        with pytest.raises(ValueError, match="not a RIFF/AVI"):
+            decode_avi_mjpeg(good[:8] + b"WAVE" + good[12:])
+        with pytest.raises(ValueError, match="no video frames"):
+            decode_avi_mjpeg(b"RIFF" + (4).to_bytes(4, "little") + b"AVI ")
+
+    def test_media_featurizer_dispatches_video(self):
+        import pandas as pd
+
+        from probabilistic_rs_spark.datagen import avi_for_id, wav_for_id
+        from probabilistic_rs_spark.operators.multimodal import (
+            _media_decode_featurize,
+        )
+
+        out = _media_decode_featurize(pd.Series([avi_for_id(6), wav_for_id(6)]))
+        assert out[0, 0] == 4 + 6 % 13 and out[0, 3] == 10.0  # video geometry
+        assert out[1, 0] == 8000.0  # audio rate
+
+    def test_corruption_sweep_wav_and_avi(self):
+        from probabilistic_rs_spark.datagen import avi_for_id, wav_for_id
+        from probabilistic_rs_spark.operators.multimodal import (
+            decode_avi_mjpeg,
+            decode_wav,
+        )
+
+        def assault(decode, good, ok_types):
+            for cut in range(0, len(good), max(1, len(good) // 19)):
+                try:
+                    decode(good[:cut])
+                except ok_types:
+                    pass
+            for pos2 in list(range(min(72, len(good)))) + list(
+                range(0, len(good), max(1, len(good) // 31))
+            ):
+                bad = bytearray(good)
+                bad[pos2] ^= 0x5A
+                try:
+                    decode(bytes(bad))
+                except ok_types:
+                    pass
+
+        assault(decode_wav, wav_for_id(37), (ValueError,))
+        assault(
+            decode_avi_mjpeg, avi_for_id(37), (ValueError, NotImplementedError)
+        )
