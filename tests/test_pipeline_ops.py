@@ -689,3 +689,41 @@ class TestSimhashArrowEngine:
         b = {r["doc_id"]: r["simhash"]
              for r in with_simhash(df.repartition(13), "doc_id", "text", hash_fn="xxhash64").collect()}
         assert a == b
+
+
+class TestCuratePipelineJob:
+    """The spark-submit curation-pipeline entry (jobs/curate_pipeline.py):
+    stages compose, write under --output, and resume past completed
+    stages on re-run."""
+
+    def test_end_to_end_and_resume(self, spark, tmp_path):
+        import json
+
+        from probabilistic_rs_spark.jobs import curate_pipeline
+
+        out = str(tmp_path / "pipe")
+        argv = [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out, "--sample-k", "5",
+        ]
+        assert curate_pipeline.main(argv) == 0
+        with open(f"{out}/metrics.json") as f:
+            m1 = json.load(f)
+        assert m1["n_input"] == 500
+        st = m1["stages"]
+        assert st["annotated"]["rows"] == 500
+        assert st["corpus"]["rows"] <= st["exact_reps"]["rows"]
+        assert st["sample"]["rows"] <= 5 * 5  # k per language
+        assert not any(v["resumed"] for v in st.values())
+        # second run: every stage resumes from its _SUCCESS marker
+        assert curate_pipeline.main(argv) == 0
+        with open(f"{out}/metrics.json") as f:
+            m2 = json.load(f)
+        assert all(v["resumed"] for v in m2["stages"].values())
+        assert {k: v["rows"] for k, v in m2["stages"].items()} == {
+            k: v["rows"] for k, v in m1["stages"].items()
+        }
+        # the sampled corpus carries the annotation + cluster columns
+        sample = spark.read.parquet(f"{out}/sample")
+        for c in ("lang_id", "quality", "fingerprint", "n_cluster", "sample_rank"):
+            assert c in sample.columns
