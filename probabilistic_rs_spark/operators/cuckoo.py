@@ -44,7 +44,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from probabilistic_rs_spark.common import lru_evict, op_masks as _op_masks
+from probabilistic_rs_spark.common import (
+    check_shard_modulus as _check_shard_modulus,
+    lru_evict,
+    op_masks as _op_masks,
+    shard_cogroup_cols as _shard_cogroup_cols,
+)
 from probabilistic_rs_spark.errors import SketchConfigError
 from probabilistic_rs_spark.sketches.base import TYPE_CUCKOO, TYPE_NCUCKOO, peek_type
 from probabilistic_rs_spark.sketches.cuckoo import CuckooFilter, NativeCuckooFilter
@@ -217,6 +222,14 @@ def build_cuckoo_shards_df(
 
 
 def _states_df_n_shards(states_df: DataFrame, n_shards: int | None) -> int:
+    """The routing modulus for a shard-state table. When the caller
+    omits ``n_shards`` the self-describing column is read (one tiny
+    agg); an explicitly passed value short-circuits WITHOUT a scan (the
+    probe/delete inputs are often unpersisted build plans — an eager
+    verification agg would re-execute them), and is instead verified
+    INSIDE the cogrouped kernel against each shard row's ``n_shards``
+    value (``_check_shard_modulus``) — zero extra jobs, still a loud
+    failure instead of silent misrouting."""
     if n_shards is not None:
         return int(n_shards)
     if "n_shards" not in states_df.columns:
@@ -232,6 +245,8 @@ def _states_df_n_shards(states_df: DataFrame, n_shards: int | None) -> int:
             "probe one build's states at a time"
         )
     return int(row["ns"])
+
+
 
 
 def cuckoo_partitioned_probe(
@@ -283,6 +298,7 @@ def cuckoo_partitioned_probe(
     )
 
     def probe_fn(state_pdf: pd.DataFrame, probe_pdf: pd.DataFrame) -> pd.DataFrame:
+        _check_shard_modulus(state_pdf, ns)
         if probe_pdf.empty:
             return probe_pdf.reindex(columns=[f.name for f in out_schema.fields])
         out = probe_pdf.drop(columns=["__h", "__shard"])
@@ -295,7 +311,7 @@ def cuckoo_partitioned_probe(
         return out
 
     return (
-        states_df.select("shard", "state")
+        states_df.select(*_shard_cogroup_cols(states_df))
         .groupby("shard")
         .cogroup(probed.groupby("__shard"))
         .applyInPandas(probe_fn, out_schema)
@@ -378,6 +394,7 @@ def cuckoo_apply_ops_df(
     )
 
     def apply_ops(state_pdf: pd.DataFrame, ops_pdf: pd.DataFrame) -> pd.DataFrame:
+        _check_shard_modulus(state_pdf, ns)
         if state_pdf.empty and ops_pdf.empty:
             return pd.DataFrame(
                 {
@@ -410,7 +427,7 @@ def cuckoo_apply_ops_df(
         )
 
     out = (
-        states_df.select("shard", "state")
+        states_df.select(*_shard_cogroup_cols(states_df))
         .groupby("shard")
         .cogroup(ops.groupby("__shard"))
         .applyInPandas(apply_ops, _SHARD_SCHEMA)
@@ -444,6 +461,7 @@ def cuckoo_delete_df(
     )
 
     def apply_deletes(state_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        _check_shard_modulus(state_pdf, ns)
         if state_pdf.empty:
             # keys routed to a shard that never existed: nothing to delete
             return pd.DataFrame(
@@ -464,7 +482,7 @@ def cuckoo_delete_df(
         )
 
     new_states = (
-        states_df.select("shard", "state")
+        states_df.select(*_shard_cogroup_cols(states_df))
         .groupby("shard")
         .cogroup(deletes.groupby("__shard"))
         .applyInPandas(apply_deletes, out_schema)

@@ -34,7 +34,12 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType
 
-from probabilistic_rs_spark.common import op_masks as _op_masks, state_key
+from probabilistic_rs_spark.common import (
+    check_shard_modulus as _check_shard_modulus,
+    op_masks as _op_masks,
+    shard_cogroup_cols as _shard_cogroup_cols,
+    state_key,
+)
 from probabilistic_rs_spark.errors import SketchConfigError
 from probabilistic_rs_spark.operators.sketch_agg import (
     SketchSpec,
@@ -280,6 +285,14 @@ def build_quotient_shards_df(
 
 
 def _qstates_shard_bits(states_df: DataFrame, n_shards: int | None) -> int:
+    """Prefix width for a quotient shard table. When the caller omits
+    ``n_shards`` the self-describing column is read (one tiny agg); an
+    explicitly passed value short-circuits WITHOUT a scan (probe/delete
+    inputs are often unpersisted build plans an eager verification agg
+    would re-execute) and is instead verified INSIDE the cogrouped
+    kernel against each shard row's ``n_shards`` value
+    (``common.check_shard_modulus``) — zero extra jobs, still a loud
+    failure instead of silent misrouting."""
     if n_shards is None:
         if "n_shards" not in states_df.columns:
             raise SketchConfigError(
@@ -337,6 +350,7 @@ def quotient_partitioned_probe(
     )
 
     def probe_fn(state_pdf: pd.DataFrame, probe_pdf: pd.DataFrame) -> pd.DataFrame:
+        _check_shard_modulus(state_pdf, 1 << s)
         if probe_pdf.empty:
             return probe_pdf.reindex(columns=[f.name for f in out_schema.fields])
         out = probe_pdf.drop(columns=["__h", "__shard"])
@@ -349,7 +363,7 @@ def quotient_partitioned_probe(
         return out
 
     return (
-        states_df.select("shard", "state")
+        states_df.select(*_shard_cogroup_cols(states_df))
         .groupby("shard")
         .cogroup(probed.groupby("__shard"))
         .applyInPandas(probe_fn, out_schema)
@@ -381,6 +395,7 @@ def quotient_delete_df(
     )
 
     def apply_deletes(state_pdf: pd.DataFrame, del_pdf: pd.DataFrame) -> pd.DataFrame:
+        _check_shard_modulus(state_pdf, 1 << s)
         if state_pdf.empty:
             return pd.DataFrame(
                 {
@@ -401,7 +416,7 @@ def quotient_delete_df(
         )
 
     out = (
-        states_df.select("shard", "state")
+        states_df.select(*_shard_cogroup_cols(states_df))
         .groupby("shard")
         .cogroup(deletes.groupby("__shard"))
         .applyInPandas(apply_deletes, out_schema)
@@ -463,6 +478,7 @@ def quotient_apply_ops_df(
     )
 
     def apply_ops(state_pdf: pd.DataFrame, ops_pdf: pd.DataFrame) -> pd.DataFrame:
+        _check_shard_modulus(state_pdf, 1 << s)
         if state_pdf.empty and ops_pdf.empty:
             return pd.DataFrame(
                 {
@@ -495,7 +511,7 @@ def quotient_apply_ops_df(
         )
 
     out = (
-        states_df.select("shard", "state")
+        states_df.select(*_shard_cogroup_cols(states_df))
         .groupby("shard")
         .cogroup(ops.groupby("__shard"))
         .applyInPandas(apply_ops, _QSHARD_SCHEMA)

@@ -372,3 +372,52 @@ class TestWindowedBloomBudget:
             probe_recent(probes, "item", levels, max_broadcast_bytes=16)
         out = native_probe_recent(probes, "item", levels, max_broadcast_bytes=None)
         assert out.where("is_member").count() == 50
+
+
+class TestShardModulusConflict:
+    """Round 6b: an explicitly passed n_shards that disagrees with the
+    states' self-describing column raises from inside the cogroup
+    (task-side — no driver-side verification scan that would re-execute
+    an unpersisted build plan) instead of silently misrouting probes."""
+
+    def test_probe_with_wrong_modulus_raises(self, spark):
+        from probabilistic_rs_spark.errors import SketchConfigError
+        from probabilistic_rs_spark.operators.cuckoo import (
+            build_cuckoo_shards_df,
+            cuckoo_partitioned_probe,
+        )
+
+        df = spark.range(2000).selectExpr("concat('k', id) AS key")
+        states = build_cuckoo_shards_df(df, "key", capacity=10_000, n_shards=8)
+        with pytest.raises(Exception, match="conflicts with the states"):
+            cuckoo_partitioned_probe(df, "key", states, n_shards=16).collect()
+        # matching explicit value still fine
+        n = (
+            cuckoo_partitioned_probe(df, "key", states, n_shards=8)
+            .where("is_member").count()
+        )
+        assert n == 2000
+        # SketchConfigError is the root cause surfaced through the task
+        try:
+            from probabilistic_rs_spark.operators.cuckoo import cuckoo_delete_df
+
+            cuckoo_delete_df(states, df.limit(10), "key", n_shards=4).collect()
+            raise AssertionError("expected a shard-modulus conflict")
+        except Exception as e:  # Py4J wraps the executor exception
+            assert "conflicts with the states" in str(e)
+
+    def test_quotient_probe_with_wrong_modulus_raises(self, spark):
+        from probabilistic_rs_spark.operators.quotient import (
+            build_quotient_shards_df,
+            quotient_partitioned_probe,
+        )
+
+        df = spark.range(2000).selectExpr("concat('k', id) AS key")
+        states = build_quotient_shards_df(df, "key", capacity=10_000, shard_bits=3)
+        with pytest.raises(Exception, match="conflicts with the states"):
+            quotient_partitioned_probe(df, "key", states, n_shards=16).collect()
+        n = (
+            quotient_partitioned_probe(df, "key", states, n_shards=8)
+            .where("is_member").count()
+        )
+        assert n == 2000
