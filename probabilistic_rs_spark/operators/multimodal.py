@@ -749,8 +749,10 @@ def decode_avi_mjpeg(
     frames: list[np.ndarray] = []
     seen = 0
 
-    def walk(lo: int, hi: int) -> None:
+    def walk(lo: int, hi: int, depth: int = 0) -> None:
         nonlocal us_per_frame, total_declared, seen
+        if depth > 16:  # real AVIs nest 2-3 deep; reject crafted bombs
+            raise ValueError("AVI LIST nesting too deep")
         pos = lo
         while pos + 8 <= hi:
             cid = data[pos : pos + 4]
@@ -759,7 +761,7 @@ def decode_avi_mjpeg(
             if body_hi > hi:
                 raise ValueError(f"truncated AVI chunk {cid!r}")
             if cid == b"LIST":
-                walk(body_lo + 4, body_hi)  # skip the list-type fourcc
+                walk(body_lo + 4, body_hi, depth + 1)  # skip the list fourcc
             elif cid == b"avih":
                 if clen < 20:
                     raise ValueError("short AVI main header")
