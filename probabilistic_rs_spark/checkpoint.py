@@ -191,12 +191,26 @@ class SketchCheckpoint:
         return {"ran": ran, "skipped": skipped}
 
     def merged_states(self, spark: SparkSession, tree_fanin: int | None = None) -> DataFrame:
-        """Final states from ALL persisted partials (reads only sketch
-        blobs — input data is never touched on this path)."""
+        """Final states from the LINEAGE-COMPLETE partials (reads only
+        sketch blobs — input data is never touched on this path).
+
+        Only units whose lineage record exists participate: a crash
+        between the partials write and the lineage fsync leaves an
+        orphan ``unit=...`` directory (possibly missing part files), and
+        merging it before the unit re-runs would silently fold a
+        half-written unit into the states. Lineage IS the commit point —
+        the same contract the generation log uses."""
         pdir = os.path.join(self.dir, "partials")
-        parts = [os.path.join(pdir, d) for d in sorted(os.listdir(pdir))]
+        done = self.completed_units()
+        parts = [
+            os.path.join(pdir, f"unit={_unit_id(u)}")
+            for u in sorted(done)
+            if os.path.isdir(os.path.join(pdir, f"unit={_unit_id(u)}"))
+        ]
         if not parts:
-            raise SketchConfigError(f"no partials under {pdir}")
+            raise SketchConfigError(
+                f"no lineage-complete partials under {pdir} — run_units first"
+            )
         df = spark.read.parquet(*parts)
         return sketch_merge(df, self.group_cols, self.specs, tree_fanin=tree_fanin)
 

@@ -158,6 +158,26 @@ class TestResume:
         assert len(res["ran"]) == 1
         assert ck.merged_states(spark).head()["n_updates"] == want
 
+    def test_merge_excludes_orphan_partials(self, spark, tmp_path, units):
+        """Round 6b: merged_states folds LINEAGE-COMPLETE units only — an
+        orphan partials dir from a crashed unit (lineage never written)
+        must not leak half-written state into the merge when the caller
+        merges before re-running."""
+        from probabilistic_rs_spark.checkpoint import _unit_id
+
+        d = str(tmp_path / "ck-orphan")
+        ck = SketchCheckpoint.create(d, [], [SPECS[0]])
+        ck.run_units(spark, units[:3])
+        want3 = ck.merged_states(spark).head()["n_updates"]
+        # emulate the crash window on unit 4: partials land on disk,
+        # lineage does not (run it, then delete only its lineage record)
+        ck.run_units(spark, [units[3]])
+        os.remove(os.path.join(d, "lineage", f"{_unit_id(units[3])}.json"))
+        assert len(ck.completed_units()) == 3
+        # the orphan partials dir exists but is excluded from the merge
+        assert os.path.isdir(os.path.join(d, "partials", f"unit={_unit_id(units[3])}"))
+        assert ck.merged_states(spark).head()["n_updates"] == want3
+
 
 class TestChunkStore:
     """Dirty-chunk incremental checkpointing end-to-end (reference's
