@@ -180,10 +180,11 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode a PNG (bit depth 8, color type 2 RGB or 6 RGBA, no
-    interlace) into an (h, w, 3) uint8 RGB array — a REAL compressed
-    codec with no library beyond stdlib ``zlib`` (round 6; its siblings
-    ``decode_gif`` and ``decode_jpeg`` need no library at all).
+    """Decode a PNG (bit depth 8; color types 0 grayscale, 2 RGB,
+    4 gray+alpha, 6 RGBA; no interlace) into an (h, w, 3) uint8 RGB
+    array — a REAL compressed codec with no library beyond stdlib
+    ``zlib`` (round 6; its siblings ``decode_gif`` and ``decode_jpeg``
+    need no library at all).
 
     Implements the actual format: chunk walk with CRC-32 validation,
     IHDR geometry, concatenated IDAT inflate, and per-scanline unfilter
@@ -214,10 +215,10 @@ def decode_png(data: bytes) -> np.ndarray:
             width = int.from_bytes(body[0:4], "big")
             height = int.from_bytes(body[4:8], "big")
             bit_depth, color_type, _comp, _filt, interlace = body[8:13]
-            if bit_depth != 8 or color_type not in (2, 6):
+            if bit_depth != 8 or color_type not in (0, 2, 4, 6):
                 raise ValueError(
                     f"unsupported PNG: bit_depth={bit_depth} color_type={color_type} "
-                    "(8-bit RGB/RGBA only)"
+                    "(8-bit grayscale/RGB/gray+alpha/RGBA; palettes need a PLTE impl)"
                 )
             if interlace != 0:
                 raise ValueError("interlaced PNG not supported")
@@ -228,7 +229,7 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + clen
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    bpp = 3 if color_type == 2 else 4
+    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = width * bpp
     if len(raw) != height * (stride + 1):
@@ -263,6 +264,8 @@ def decode_png(data: bytes) -> np.ndarray:
         out[r] = cur.astype(np.uint8)
         prev = cur
     img = out.reshape(height, width, bpp)
+    if color_type in (0, 4):  # grayscale (+alpha dropped) → replicate
+        return np.repeat(img[:, :, :1], 3, axis=2).copy()
     return img[:, :, :3].copy()
 
 

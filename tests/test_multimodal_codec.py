@@ -620,3 +620,61 @@ class TestAVI:
         assault(
             decode_avi_mjpeg, avi_for_id(37), (ValueError, NotImplementedError)
         )
+
+
+class TestPNGGrayscale:
+    """Round 6b: PNG color types 0 (grayscale) and 4 (gray+alpha)."""
+
+    @staticmethod
+    def _encode_gray(img2d: np.ndarray, alpha: bool) -> bytes:
+        import zlib
+
+        from probabilistic_rs_spark.datagen import _png_chunk
+
+        h, w = img2d.shape
+        bpp = 2 if alpha else 1
+        lines = bytearray()
+        for r in range(h):
+            lines.append(0)  # filter None
+            for v in img2d[r]:
+                lines.append(int(v))
+                if alpha:
+                    lines.append(0xFF)
+        ihdr = (
+            w.to_bytes(4, "big")
+            + h.to_bytes(4, "big")
+            + bytes((8, 4 if alpha else 0, 0, 0, 0))
+        )
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 9))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    def test_gray_and_gray_alpha_roundtrip(self):
+        from probabilistic_rs_spark.operators.multimodal import decode_png
+
+        rng = np.random.default_rng(17)
+        g = rng.integers(0, 256, (9, 13), dtype=np.uint8)
+        for alpha in (False, True):
+            out = decode_png(self._encode_gray(g, alpha))
+            assert out.shape == (9, 13, 3)
+            assert (out[:, :, 0] == g).all()
+            assert (out == out[:, :, :1]).all()  # replicated channels
+
+    def test_palette_type_still_rejected(self):
+        import zlib
+
+        from probabilistic_rs_spark.datagen import _png_chunk
+        from probabilistic_rs_spark.operators.multimodal import decode_png
+
+        ihdr = (1).to_bytes(4, "big") * 2 + bytes((8, 3, 0, 0, 0))  # type 3
+        data = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="color_type=3"):
+            decode_png(data)
