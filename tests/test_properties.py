@@ -260,3 +260,41 @@ class TestBoundInvarianceFamilies:
             hi = np.searchsorted(data, est, side="right")
             # generous k1-scale rank window: 5% + discretization slack
             assert lo / n - 0.05 - 2.0 / n <= q <= hi / n + 0.05 + 2.0 / n
+
+
+class TestNativeBloomProperty:
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(0, (1 << 62) - 1), st.integers(0, (1 << 56) - 1)
+            ),
+            max_size=200,
+        ),
+        key=seed_strategy,
+    )
+    @settings(**_SETTINGS)
+    def test_native_bloom_partition_invariant(self, pairs, key):
+        """The JVM-hash family's kernel (`update_base_hashes` over KM
+        (h1, h2) pairs — the exact shape the streaming projection and
+        batch builders ship) is partition/merge-tree invariant like the
+        parity family."""
+        from probabilistic_rs_spark.sketches.bloom import BloomConfig
+        from probabilistic_rs_spark.sketches.native_bloom import NativeBloomSketch
+
+        cfg = BloomConfig(capacity=4096, false_positive_rate=0.01)
+
+        def absorb(sk, ps):
+            if ps:
+                sk.update_base_hashes(np.array(ps, dtype=np.int64))
+
+        ref = NativeBloomSketch(cfg)
+        absorb(ref, pairs)
+        parts = _partials(key, 4, pairs)
+        sks = []
+        for p in parts:
+            sk = NativeBloomSketch(cfg)
+            absorb(sk, p)
+            sks.append(sk)
+        for dst, src in _merge_orders(key ^ 0x44, len(sks)):
+            sks[dst].merge(sks[src])
+        assert sks[0].to_bytes() == ref.to_bytes()
