@@ -727,3 +727,55 @@ class TestCuratePipelineJob:
         sample = spark.read.parquet(f"{out}/sample")
         for c in ("lang_id", "quality", "fingerprint", "n_cluster", "sample_rank"):
             assert c in sample.columns
+
+
+class TestNorthstarJob:
+    """The spark-submit north-star entry (jobs/northstar.py) driven as a
+    REAL subprocess — its own SparkSession, the plain-script package
+    fallback, the resumable per-unit checkpoint path, and the printed
+    metrics contract."""
+
+    def test_script_end_to_end_with_resume(self, spark, tmp_path):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        from probabilistic_rs_spark.datagen import pages_df
+
+        src = str(tmp_path / "pages")
+        pages_df(spark, 2000, partitions=4).write.parquet(src)
+        out = str(tmp_path / "out")
+        ck = str(tmp_path / "ck")
+        cmd = [
+            sys.executable, "probabilistic_rs_spark/jobs/northstar.py",
+            "--input", src, "--output", out, "--checkpoint", ck,
+            "--bloom-capacity", "10000",
+        ]
+        env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1")
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=900,
+            cwd="/root/repo", env=env,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        m = json.loads(r.stdout.strip().splitlines()[-1])
+        assert m["n_rows"] == 2000
+        assert m["updates_per_sec"] > 0
+        # all four outputs landed and are readable
+        for sub in ("distinct_urls_lang_day", "heavy_hosts", "quantiles", "bloom_urls"):
+            assert spark.read.parquet(f"{out}/{sub}").count() > 0
+        # per-unit lineage exists (4 parquet units)
+        ldir = os.path.join(ck, "lineage")
+        recs1 = {fn: os.path.getmtime(os.path.join(ldir, fn))
+                 for fn in os.listdir(ldir) if fn.endswith(".json")}
+        assert len(recs1) == 4
+        # re-run with the same checkpoint: every unit resumes (lineage
+        # files untouched), job still succeeds end to end
+        r2 = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=900,
+            cwd="/root/repo", env=env,
+        )
+        assert r2.returncode == 0, r2.stderr[-3000:]
+        recs2 = {fn: os.path.getmtime(os.path.join(ldir, fn))
+                 for fn in os.listdir(ldir) if fn.endswith(".json")}
+        assert recs2 == recs1
