@@ -131,16 +131,15 @@ def _q_cms_partitioned_probe_event_counts(spark: SparkSession, sf_dir: str) -> D
     ev = _t(spark, sf_dir, "events")
     blocks = build_cms_blocks_df(
         ev, "event_type", eps=0.001, delta=0.001, cells_per_block=512
-    ).persist()
-    try:
-        blocks.count()  # the probe walks the blocks table twice
-        probes = ev.select("event_type").distinct()
-        out = cms_partitioned_probe(probes, "event_type", blocks).select(
-            F.col("event_type").alias("key"), "est_count"
-        )
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        blocks.unpersist()
+    )
+    # lazy-DataFrame contract like every other query (ADVICE r6): the
+    # probe persists the blocks internally (common.ensure_persisted,
+    # LRU-bounded) so the build runs once however many times the harness
+    # walks the result — no driver collect() round-trip needed.
+    probes = ev.select("event_type").distinct()
+    return cms_partitioned_probe(probes, "event_type", blocks).select(
+        F.col("event_type").alias("key"), "est_count"
+    )
 
 
 def _q_salted_exact_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,18 +770,16 @@ def _q_windowed_bloom_partitioned_members(spark: SparkSession, sf_dir: str) -> D
     blocks = build_windowed_bloom_blocks_df(
         ev, "bucket", "user_id",
         capacity_per_level=100_000, target_fpr=0.0001, words_per_block=4096,
-    ).persist()
-    try:
-        blocks.count()  # the probe walks the blocks table 3x — materialize
-        users = ev.select("user_id").distinct()
-        out = (
-            windowed_bloom_partitioned_probe(users, "user_id", blocks, num_levels=3)
-            .where(F.col("is_member"))
-            .select("user_id")
-        )
-        return spark.createDataFrame(out.collect(), out.schema)
-    finally:
-        blocks.unpersist()
+    )
+    # lazy-DataFrame contract (ADVICE r6): the probe persists blocks
+    # internally (LRU-bounded), so the 3-walk probe executes the build
+    # once and the harness consumes a lazy result — no collect().
+    users = ev.select("user_id").distinct()
+    return (
+        windowed_bloom_partitioned_probe(users, "user_id", blocks, num_levels=3)
+        .where(F.col("is_member"))
+        .select("user_id")
+    )
 
 
 def _q_streaming_windowed_bloom_recent_users(spark: SparkSession, sf_dir: str) -> DataFrame:

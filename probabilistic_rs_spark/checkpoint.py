@@ -202,11 +202,23 @@ class SketchCheckpoint:
         the same contract the generation log uses."""
         pdir = os.path.join(self.dir, "partials")
         done = self.completed_units()
-        parts = [
-            os.path.join(pdir, f"unit={_unit_id(u)}")
-            for u in sorted(done)
-            if os.path.isdir(os.path.join(pdir, f"unit={_unit_id(u)}"))
-        ]
+        parts = []
+        for u in sorted(done):
+            p = os.path.join(pdir, f"unit={_unit_id(u)}")
+            if not os.path.isdir(p):
+                # A lineage record without its partials directory is
+                # impossible-by-protocol (lineage is written AFTER the
+                # partials, and is the commit point) — it means external
+                # deletion or corruption. Folding the remaining units
+                # would return a silently incomplete state (ADVICE r6).
+                raise SketchConfigError(
+                    f"unit {u!r} has a lineage record but its partials "
+                    f"directory {p} is missing — the checkpoint is "
+                    "corrupted (externally deleted partials?); refusing "
+                    "to merge an incomplete state. Delete the lineage "
+                    "record to force the unit to re-run."
+                )
+            parts.append(p)
         if not parts:
             raise SketchConfigError(
                 f"no lineage-complete partials under {pdir} — run_units first"

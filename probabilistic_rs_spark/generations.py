@@ -68,6 +68,18 @@ class GenerationLog:
         cls, gen_dir: str, family: str, item_col: str, **params
     ) -> "GenerationLog":
         if os.path.exists(gen_dir):
+            # Destructive-recreate guard (ADVICE r6): only wipe a
+            # directory that is recognizably a generation log (has a
+            # manifest.json) or is empty. A typo'd path pointing at
+            # unrelated data must not be rmtree'd.
+            is_log = os.path.exists(os.path.join(gen_dir, "manifest.json"))
+            if not is_log and os.listdir(gen_dir):
+                raise SketchConfigError(
+                    f"refusing to wipe {gen_dir}: it exists, is non-empty, "
+                    "and has no manifest.json — it does not look like a "
+                    "generation log. Remove it yourself if the path is "
+                    "really intended."
+                )
             shutil.rmtree(gen_dir)
         os.makedirs(os.path.join(gen_dir, "lineage"), exist_ok=True)
         os.makedirs(os.path.join(gen_dir, "states"), exist_ok=True)

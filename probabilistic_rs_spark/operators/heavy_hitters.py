@@ -643,9 +643,15 @@ def cms_partitioned_probe(
        counted under the same constant hash).
 
     Shuffle volume: d·20 B per distinct probe key + the blocks table —
-    row-count-bounded, never matrix-size-bounded. PERSIST ``blocks_df``
-    before probing (the probe walks it twice: geometry check + lookup
-    join)."""
+    row-count-bounded, never matrix-size-bounded. The probe walks
+    ``blocks_df`` twice (geometry check + lookup join), so the
+    persist-before-probe contract is ENFORCED here (VERDICT r6 #3): an
+    unpersisted table is persisted internally via
+    ``common.ensure_persisted`` (LRU-bounded; already-persisted tables
+    pass through untouched)."""
+    from probabilistic_rs_spark.common import ensure_persisted
+
+    blocks_df = ensure_persisted(blocks_df)
     meta = _cms_blocks_meta(blocks_df)
     if meta is None:
         return probe_df.withColumn(out_col, F.lit(0).cast("bigint"))

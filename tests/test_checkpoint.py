@@ -178,6 +178,25 @@ class TestResume:
         assert os.path.isdir(os.path.join(d, "partials", f"unit={_unit_id(units[3])}"))
         assert ck.merged_states(spark).head()["n_updates"] == want3
 
+    def test_merge_raises_on_externally_deleted_partials(
+        self, spark, tmp_path, units
+    ):
+        """ADVICE r6: a unit with a lineage record but NO partials dir is
+        impossible-by-protocol (lineage is the commit point, written
+        after the partials) — it means external deletion/corruption, and
+        silently filtering it out would merge an incomplete state."""
+        import shutil
+
+        from probabilistic_rs_spark.checkpoint import _unit_id
+
+        d = str(tmp_path / "ck-deleted")
+        ck = SketchCheckpoint.create(d, [], [SPECS[0]])
+        ck.run_units(spark, units[:2])
+        victim = sorted(ck.completed_units())[0]
+        shutil.rmtree(os.path.join(d, "partials", f"unit={_unit_id(victim)}"))
+        with pytest.raises(SketchConfigError, match="lineage record but"):
+            ck.merged_states(spark)
+
 
 class TestChunkStore:
     """Dirty-chunk incremental checkpointing end-to-end (reference's

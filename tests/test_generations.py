@@ -122,6 +122,26 @@ def test_out_of_order_and_config_wins(spark, tmp_path):
         GenerationLog.create(str(tmp_path / "bad"), "bloomish", "key")
 
 
+def test_create_refuses_to_wipe_foreign_dir(tmp_path):
+    """ADVICE r6: create() used to rmtree any existing gen_dir — a typo'd
+    path at unrelated data was destroyed. Now it only wipes a directory
+    that is recognizably a generation log (has manifest.json) or empty."""
+    d = str(tmp_path / "notalog")
+    os.makedirs(d)
+    with open(os.path.join(d, "precious.txt"), "w") as f:
+        f.write("user data")
+    with pytest.raises(SketchConfigError, match="refusing to wipe"):
+        GenerationLog.create(d, "cuckoo", "key", capacity=1000, n_shards=2)
+    assert os.path.exists(os.path.join(d, "precious.txt"))
+    # an EMPTY pre-existing directory is fine (mkdir-then-create pattern)
+    d2 = str(tmp_path / "empty")
+    os.makedirs(d2)
+    GenerationLog.create(d2, "cuckoo", "key", capacity=1000, n_shards=2)
+    # and recreating over a real log still wipes it (documented recreate)
+    log = GenerationLog.create(d2, "cuckoo", "key", capacity=2000, n_shards=2)
+    assert log.params["capacity"] == 2000
+
+
 class TestStreamingOpsFeed:
     """Round 6b: micro-batches as generations — the foreachBatch feed
     over GenerationLog (streaming/ops_feed.py). One parquet file per
