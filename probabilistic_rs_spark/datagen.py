@@ -302,19 +302,64 @@ def png_solid(
     )
 
 
+def png_palette_solid(
+    width: int, height: int, rgb: tuple[int, int, int], index: int = 0
+) -> bytes:
+    """A well-formed PALETTE PNG (color type 3, round 7) of one solid
+    color: the target RGB sits at palette entry ``index`` surrounded by
+    deterministic distractor entries (so an index-vs-entry mixup cannot
+    round-trip), scanlines rotate through filters None/Sub/Up (Sub/Up
+    on constant index rows encode deltas of 0 — still distinct code
+    paths in the decoder). 8-bit indices, stdlib zlib only."""
+    import zlib
+
+    index = int(index) & 0xFF
+    n_entries = max(4, index + 2)
+    plte = bytearray()
+    for i in range(n_entries):
+        if i == index:
+            plte.extend(bytes(rgb))
+        else:
+            plte.extend(bytes(((i * 37) % 256, (i * 59 + 1) % 256, (i * 83 + 2) % 256)))
+    lines = bytearray()
+    for r in range(height):
+        f = r % 3
+        lines.append(f)
+        if f == 0:
+            lines.extend(bytes([index]) * width)
+        elif f == 1:  # Sub: first pixel raw, rest delta-0
+            lines.extend(bytes([index]) + b"\x00" * (width - 1))
+        else:  # Up: delta-0 against the identical previous row
+            lines.extend(b"\x00" * width)
+    ihdr = (
+        width.to_bytes(4, "big")
+        + height.to_bytes(4, "big")
+        + bytes((8, 3, 0, 0, 0))
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", bytes(plte))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(lines), 9))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def png_for_id(doc_id: int) -> bytes:
     """Deterministic per-document PNG — SAME arithmetic geometry/color
     contract as :func:`bmp_for_id`, so the two codecs share one SQL
-    oracle; RGBA alternates by id bit 2 (alpha dropped on decode), so
-    both PNG color types appear in every residue class of the oracle
-    query's ``doc_id % 4`` codec rotation."""
+    oracle; ``(doc_id >> 2) % 3`` rotates the COLOR TYPE through RGB /
+    RGBA (alpha dropped on decode) / palette (round 7 — the decoded
+    solid color is identical, so the oracle needs no palette case), so
+    all three PNG color types appear in every residue class of the
+    oracle query's ``doc_id % 4`` codec rotation."""
     did = int(doc_id)
-    return png_solid(
-        4 + did % 13,
-        3 + did % 7,
-        (did % 256, (7 * did) % 256, (13 * did) % 256),
-        rgba=bool((did >> 2) & 1),
-    )
+    w, h = 4 + did % 13, 3 + did % 7
+    rgb = (did % 256, (7 * did) % 256, (13 * did) % 256)
+    variant = (did >> 2) % 3
+    if variant == 2:
+        return png_palette_solid(w, h, rgb, index=did % 5)
+    return png_solid(w, h, rgb, rgba=variant == 1)
 
 
 def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:

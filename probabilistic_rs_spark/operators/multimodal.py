@@ -181,19 +181,22 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG (bit depth 8; color types 0 grayscale, 2 RGB,
-    4 gray+alpha, 6 RGBA; no interlace) into an (h, w, 3) uint8 RGB
-    array — a REAL compressed codec with no library beyond stdlib
-    ``zlib`` (round 6; its siblings ``decode_gif`` and ``decode_jpeg``
-    need no library at all).
+    3 palette, 4 gray+alpha, 6 RGBA; no interlace) into an (h, w, 3)
+    uint8 RGB array — a REAL compressed codec with no library beyond
+    stdlib ``zlib`` (round 6; its siblings ``decode_gif`` and
+    ``decode_jpeg`` need no library at all).
 
     Implements the actual format: chunk walk with CRC-32 validation,
-    IHDR geometry, concatenated IDAT inflate, and per-scanline unfilter
+    IHDR geometry, PLTE palette (color type 3 — round 7: indices map
+    through the RGB palette exactly as ``decode_gif`` maps LZW output,
+    with the same out-of-range-index loud fail; common in real web
+    crawls), concatenated IDAT inflate, and per-scanline unfilter
     for ALL five filter types (None/Sub/Up/Average/Paeth, RFC 2083
     §6). The unfilter loop is per-byte Python for Sub/Average/Paeth
     (intra-row data dependence); fine for the fixture sizes this engine
     decodes in-line — a production deployment swaps a C codec into the
     same ``decoder=`` hook. Raises ``ValueError`` for other depths,
-    palettes, interlacing, or corrupt chunks."""
+    sub-byte palette indices, interlacing, or corrupt chunks."""
     import zlib
 
     if len(data) < 8 or data[:8] != b"\x89PNG\r\n\x1a\n":
@@ -201,6 +204,7 @@ def decode_png(data: bytes) -> np.ndarray:
     pos = 8
     width = height = None
     color_type = None
+    palette = None
     idat = bytearray()
     while pos + 8 <= len(data):
         clen = int.from_bytes(data[pos : pos + 4], "big")
@@ -215,13 +219,17 @@ def decode_png(data: bytes) -> np.ndarray:
             width = int.from_bytes(body[0:4], "big")
             height = int.from_bytes(body[4:8], "big")
             bit_depth, color_type, _comp, _filt, interlace = body[8:13]
-            if bit_depth != 8 or color_type not in (0, 2, 4, 6):
+            if bit_depth != 8 or color_type not in (0, 2, 3, 4, 6):
                 raise ValueError(
                     f"unsupported PNG: bit_depth={bit_depth} color_type={color_type} "
-                    "(8-bit grayscale/RGB/gray+alpha/RGBA; palettes need a PLTE impl)"
+                    "(8-bit grayscale/RGB/palette/gray+alpha/RGBA)"
                 )
             if interlace != 0:
                 raise ValueError("interlaced PNG not supported")
+        elif ctype == b"PLTE":
+            if clen == 0 or clen % 3 != 0 or clen > 256 * 3:
+                raise ValueError(f"malformed PLTE chunk ({clen} bytes)")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -229,7 +237,9 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + clen
     if width is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
-    bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    if color_type == 3 and palette is None:
+        raise ValueError("palette PNG (color type 3) missing its PLTE chunk")
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = zlib.decompress(bytes(idat))
     stride = width * bpp
     if len(raw) != height * (stride + 1):
@@ -264,6 +274,14 @@ def decode_png(data: bytes) -> np.ndarray:
         out[r] = cur.astype(np.uint8)
         prev = cur
     img = out.reshape(height, width, bpp)
+    if color_type == 3:  # palette indices → RGB lookup (tRNS dropped)
+        idx = img[:, :, 0]
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError(
+                f"PNG palette index {int(idx.max())} out of range "
+                f"(palette has {len(palette)} entries)"
+            )
+        return palette[idx].copy()
     if color_type in (0, 4):  # grayscale (+alpha dropped) → replicate
         return np.repeat(img[:, :, :1], 3, axis=2).copy()
     return img[:, :, :3].copy()

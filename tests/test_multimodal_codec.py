@@ -134,8 +134,9 @@ class TestPNG:
             decode_png,
         )
 
-        for did in (0, 1, 2, 7, 13, 91, 255, 511, 999):
-            img = decode_png(png_for_id(did))  # id bit 2 toggles RGBA
+        # (did >> 2) % 3 rotates the color type: RGB / RGBA / palette
+        for did in (0, 1, 2, 7, 8, 10, 13, 23, 35, 91, 107, 255, 511, 999):
+            img = decode_png(png_for_id(did))
             w, h = 4 + did % 13, 3 + did % 7
             assert img.shape == (h, w, 3)
             assert (img[:, :, 0] == did % 256).all()
@@ -229,6 +230,49 @@ class TestPNG:
         )
         with pytest.raises(ValueError, match="interlaced"):
             decode_png(rebuilt)
+
+    def test_palette_roundtrip_and_guards(self):
+        """Round 7: color type 3 — indices map through PLTE; distractor
+        entries mean an index/entry mixup cannot round-trip; missing
+        PLTE, malformed PLTE, and out-of-range indices fail loudly."""
+        import zlib as _z
+
+        from probabilistic_rs_spark.datagen import (
+            _png_chunk,
+            png_palette_solid,
+        )
+        from probabilistic_rs_spark.operators.multimodal import decode_png
+
+        for idx in (0, 1, 4):
+            img = decode_png(png_palette_solid(9, 5, (200, 10, 99), index=idx))
+            assert img.shape == (5, 9, 3)
+            assert (img == np.array([200, 10, 99], dtype=np.uint8)).all()
+        good = bytearray(png_palette_solid(6, 4, (1, 2, 3), index=1))
+        # strip the PLTE chunk → loud fail
+        p = good.find(b"PLTE") - 4
+        plen = int.from_bytes(good[p : p + 4], "big")
+        without_plte = bytes(good[:p]) + bytes(good[p + 12 + plen :])
+        with pytest.raises(ValueError, match="missing its PLTE"):
+            decode_png(without_plte)
+        # malformed PLTE length (not a multiple of 3)
+        badplte = (
+            bytes(good[:p])
+            + _png_chunk(b"PLTE", b"\x01\x02\x03\x04")
+            + bytes(good[p + 12 + plen :])
+        )
+        with pytest.raises(ValueError, match="malformed PLTE"):
+            decode_png(badplte)
+        # out-of-range index: 2-entry palette, index byte 7
+        ihdr = (6).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes((8, 3, 0, 0, 0))
+        oor = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", bytes(range(6)))
+            + _png_chunk(b"IDAT", _z.compress(b"\x00" + b"\x07" * 6))
+            + _png_chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="palette index"):
+            decode_png(oor)
 
     def test_featurize_dispatches_png(self):
         from probabilistic_rs_spark.datagen import png_for_id
@@ -663,18 +707,29 @@ class TestPNGGrayscale:
             assert (out[:, :, 0] == g).all()
             assert (out == out[:, :, :1]).all()  # replicated channels
 
-    def test_palette_type_still_rejected(self):
+    def test_palette_type_requires_plte(self):
+        """Round 7 turned color type 3 into a SUPPORTED path; a type-3
+        stream without its PLTE chunk still fails loudly, and the same
+        pixels with a PLTE decode through the lookup."""
         import zlib
 
         from probabilistic_rs_spark.datagen import _png_chunk
         from probabilistic_rs_spark.operators.multimodal import decode_png
 
         ihdr = (1).to_bytes(4, "big") * 2 + bytes((8, 3, 0, 0, 0))  # type 3
-        data = (
+        no_plte = (
             b"\x89PNG\r\n\x1a\n"
             + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
             + _png_chunk(b"IEND", b"")
         )
-        with pytest.raises(ValueError, match="color_type=3"):
-            decode_png(data)
+        with pytest.raises(ValueError, match="missing its PLTE"):
+            decode_png(no_plte)
+        with_plte = (
+            b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", bytes((9, 8, 7)))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert (decode_png(with_plte) == np.array([[[9, 8, 7]]])).all()
