@@ -478,6 +478,17 @@ def main() -> None:
     ensure_pages(spark)
     warmup(spark)
 
+    # focused adjudication runs: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts
+    # the query set (the driver never sets it — full contract unchanged)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    global QUERIES
+    if only:
+        keep = [q.strip() for q in only.split(",") if q.strip()]
+        unknown = [q for q in keep if q not in QUERIES]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        QUERIES = {name: QUERIES[name] for name in keep}
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # INTERLEAVED rep rounds (the bench_scaling idiom): this host shows
     # minutes-long contention bursts, so back-to-back reps of one query

@@ -39,29 +39,29 @@ def _final_plan(df):
     return plan
 
 
-def _iter_nodes(node):
+def _iter_nodes(node, _seen=None):
+    """Walk the executed physical plan, descending into AQE query-stage
+    wrappers (children() is empty on QueryStageExec — the materialized
+    subtree hangs off .plan()) with node-id dedup (reused stages)."""
+    if _seen is None:
+        _seen = set()
+    nid = int(node.id())
+    if nid in _seen:
+        return
+    _seen.add(nid)
     yield node
     kids = node.children()
     for i in range(kids.size()):
-        yield from _iter_nodes(kids.apply(i))
-    # walk through AQE query-stage / reused-exchange wrappers
-    for meth in ("plan", "child"):
-        if hasattr(node, meth):
-            try:
-                yield from _iter_nodes(getattr(node, meth)())
-            except Exception:
-                pass
+        yield from _iter_nodes(kids.apply(i), _seen)
+    if "QueryStageExec" in node.getClass().getSimpleName():
+        yield from _iter_nodes(node.plan(), _seen)
 
 
 def _distinct_agg_output_rows(df, key_fragment: str) -> list[int]:
     """numOutputRows of every HashAggregate whose grouping references
     ``key_fragment`` (the probe-hash column) in the EXECUTED plan."""
     out = []
-    seen = set()
     for node in _iter_nodes(_final_plan(df)):
-        if id(node) in seen:
-            continue
-        seen.add(id(node))
         name = node.getClass().getSimpleName()
         if "HashAggregate" not in name:
             continue
