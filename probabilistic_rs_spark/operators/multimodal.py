@@ -959,6 +959,13 @@ def decode_and_featurize(
     ``NotImplementedError`` (compressed audio/video need ffmpeg — this
     marks the integration point); a callable → used as the batch
     decoder (signature: pd.Series[bytes] → np.ndarray (n, FEATURE_DIM)).
+
+    Throughput routing (measured, BASELINE.md round-7 media pricing):
+    the pure-Python codecs sustain 13k–280k items/s/core at oracle-
+    fixture sizes but ~10–90 images/s/core at real 128px web-image
+    sizes — for production volumes, inject a C decoder (ffmpeg/libvips)
+    as the ``decoder=`` callable; every other piece of this operator
+    (schema, Arrow batching, partitioning) is the production path.
     """
     if decoder == "real":
         raise NotImplementedError(
