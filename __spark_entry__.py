@@ -150,13 +150,22 @@ def _q_salted_exact_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _q_bloom_members_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom semi-join: which probe keys are in orders.o_custkey. Probe set
-    = real customers (zero false negatives guaranteed) + shifted
-    never-present keys (FPR sized so expected FP ≈ 0.02 — deterministically
-    zero on this data, verified)."""
+    """Bloom semi-join, BOTH hash families in one gate (round-7
+    consolidation freeing a driver slot under the 50-query cap, the r6
+    precedent): which probe keys are in orders.o_custkey, answered by the
+    reference-parity murmur3+fnv pandas probe AND the native JVM-codegen
+    xxhash64-KM probe (operators/membership.py). Probe set = real
+    customers (zero false negatives guaranteed, both families) + shifted
+    never-present keys (FPR sized so expected FP ≈ 0.02 per family —
+    deterministically zero on this data, verified). Output = full outer
+    join of the two member sets with per-family flags: a false positive,
+    false negative, or family divergence each breaks the row set or a
+    flag, so the oracle hash gates both families."""
     from probabilistic_rs_spark.operators.membership import (
         bloom_probe,
         build_bloom_state,
+        build_native_bloom_state,
+        native_bloom_probe,
     )
 
     orders = _t(spark, sf_dir, "orders")
@@ -168,14 +177,30 @@ def _q_bloom_members_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = build_bloom_state(
         orders, "o_custkey", capacity=max(1000, n), false_positive_rate=0.00001
     )
+    nstate = build_native_bloom_state(
+        orders, "o_custkey", capacity=max(1000, n), false_positive_rate=0.00001
+    )
     probes = customer.select(F.col("c_custkey").alias("custkey")).union(
         customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
     )
-    return (
+    parity = (
         bloom_probe(probes, "custkey", state)
         .where(F.col("is_member"))
         .select("custkey")
         .distinct()
+        .withColumn("parity_member", F.lit(True))
+    )
+    native = (
+        native_bloom_probe(probes, "custkey", nstate)
+        .where(F.col("is_member"))
+        .select("custkey")
+        .distinct()
+        .withColumn("native_member", F.lit(True))
+    )
+    return parity.join(native, "custkey", "full").select(
+        "custkey",
+        F.coalesce("parity_member", F.lit(False)).alias("parity_member"),
+        F.coalesce("native_member", F.lit(False)).alias("native_member"),
     )
 
 
@@ -252,31 +277,37 @@ def _q_quotient_partitioned_members(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def _q_native_bloom_members_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native-hash (JVM-probe) Bloom semi-join — same contract as
-    `bloom_members_custkey` but the probe predicate runs entirely inside
-    whole-stage codegen (operators/membership.py:native_bloom_probe): zero
-    false negatives by construction, FPR sized so expected FPs ≈ 0.02 —
-    deterministically zero on this data, verified."""
-    from probabilistic_rs_spark.operators.membership import (
-        build_native_bloom_state,
-        native_bloom_probe,
-    )
+def _q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV set algebra (round 7, sketches/theta.py — Dasgupta et
+    al. 2016): per-event-type KMV states over user_id built in ONE scan
+    through the generic partial/merge pipeline, then DIRECT intersection
+    / union / A-not-B / Jaccard estimates between every audience pair off
+    the coordinated samples (operators/set_ops.py:theta_overlap — a
+    self-join of the tiny state table, never the data). This is the set
+    algebra the HLL family cannot express: hll_event_type_user_overlap's
+    inclusion–exclusion degrades when |A ∩ B| ≪ |A ∪ B|, theta's direct
+    sample estimate does not, and A-not-B / Jaccard have no HLL form at
+    all. k=4096 ≫ the 150 distinct users at sf0.01 → every state is in
+    exact mode, so all estimates are exact integers and the exact-SQL
+    oracle hash-matches (estimate-mode accuracy is gated in
+    tests/test_theta.py and generatively in tests/test_properties.py)."""
+    from probabilistic_rs_spark.operators.set_ops import theta_overlap, theta_states
 
-    orders = _t(spark, sf_dir, "orders")
-    customer = _t(spark, sf_dir, "customer")
-    n = orders.count()
-    state = build_native_bloom_state(
-        orders, "o_custkey", capacity=max(1000, n), false_positive_rate=0.00001
-    )
-    probes = customer.select(F.col("c_custkey").alias("custkey")).union(
-        customer.select((F.col("c_custkey") + F.lit(10_000_000)).alias("custkey"))
-    )
+    ev = _t(spark, sf_dir, "events")
+    states = theta_states(ev, "user_id", ["event_type"], k=4096)
     return (
-        native_bloom_probe(probes, "custkey", state)
-        .where(F.col("is_member"))
-        .select("custkey")
-        .distinct()
+        theta_overlap(states, ["event_type"])
+        .where(F.col("n_intersection") > 0)
+        .select(
+            "event_type_a",
+            "event_type_b",
+            "n_a",
+            "n_b",
+            "n_intersection",
+            "n_union",
+            "n_a_not_b",
+            "jaccard",
+        )
     )
 
 
@@ -1345,7 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_partitioned_probe_event_counts": _q_cms_partitioned_probe_event_counts,
         "salted_exact_supplier_counts": _q_salted_exact_supplier_counts,
         "bloom_members_custkey": _q_bloom_members_custkey,
-        "native_bloom_members_custkey": _q_native_bloom_members_custkey,
+        "theta_event_audience_overlap": _q_theta_overlap,
         "quotient_members_after_delete": _q_quotient_members_after_delete,
         "quotient_partitioned_members": _q_quotient_partitioned_members,
         "bloom_fpr_gate": _q_bloom_fpr_gate,
@@ -1416,12 +1447,22 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 650"
         ),
         "bloom_members_custkey": (
-            "SELECT DISTINCT c_custkey AS custkey FROM customer "
+            "SELECT DISTINCT c_custkey AS custkey, TRUE AS parity_member, "
+            "TRUE AS native_member FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
         ),
-        "native_bloom_members_custkey": (
-            "SELECT DISTINCT c_custkey AS custkey FROM customer "
-            "WHERE c_custkey IN (SELECT o_custkey FROM orders)"
+        "theta_event_audience_overlap": (
+            "WITH d AS (SELECT DISTINCT event_type, user_id FROM events), "
+            "per AS (SELECT event_type, count(*)::BIGINT AS n FROM d GROUP BY event_type), "
+            "c AS (SELECT a.event_type AS event_type_a, b.event_type AS event_type_b, "
+            "count(*)::BIGINT AS n_intersection FROM d a JOIN d b "
+            "ON a.user_id = b.user_id AND a.event_type < b.event_type GROUP BY 1, 2) "
+            "SELECT c.event_type_a, c.event_type_b, pa.n AS n_a, pb.n AS n_b, "
+            "c.n_intersection, (pa.n + pb.n - c.n_intersection)::BIGINT AS n_union, "
+            "(pa.n - c.n_intersection)::BIGINT AS n_a_not_b, "
+            "c.n_intersection / CAST(pa.n + pb.n - c.n_intersection AS DOUBLE) AS jaccard "
+            "FROM c JOIN per pa ON pa.event_type = c.event_type_a "
+            "JOIN per pb ON pb.event_type = c.event_type_b"
         ),
         "bloom_fpr_gate": (
             "SELECT TRUE AS no_false_negatives, TRUE AS fpr_ok"

@@ -356,6 +356,24 @@ def q_events_distinct_users(spark):
     return n, out.count()
 
 
+def q_pages_theta_overlap(spark):
+    """Theta/KMV set algebra (round 7): per-lang distinct-host audiences
+    in ONE scan (KMV partials through the generic pipeline), then direct
+    |A∩B| / |A∪B| / |A\\B| / Jaccard estimates for all 28 lang pairs off
+    the state self-join. k=8192 < per-lang host cardinality at sf0.1 →
+    genuinely in sampling mode."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.set_ops import theta_overlap, theta_states
+
+    pages = spark.read.parquet(PAGES_PATH).select(
+        "lang", F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+    )
+    states = theta_states(pages, "host", ["lang"], k=8192)
+    out = theta_overlap(states, ["lang"])
+    return PAGES_ROWS, out.count()
+
+
 QUERIES = {
     "pages_hll_lang_day": q_pages_hll_lang_day,
     "pages_heavy_hosts": q_pages_heavy_hosts,
@@ -367,6 +385,7 @@ QUERIES = {
     "pages_windowed_partitioned": q_pages_windowed_partitioned,
     "pages_simhash_fingerprints": q_pages_simhash_fingerprints,
     "pages_minhash_signatures": q_pages_minhash_signatures,
+    "pages_theta_overlap": q_pages_theta_overlap,
     "lineitem_flagship_multisketch": q_lineitem_flagship,
     "events_distinct_users": q_events_distinct_users,
 }
@@ -417,6 +436,7 @@ REWARM = {
     "pages_windowed_partitioned": _touch_pages,
     "pages_simhash_fingerprints": _touch_pages,
     "pages_minhash_signatures": _touch_pages,
+    "pages_theta_overlap": _touch_pages,
     "lineitem_flagship_multisketch": _touch_lineitem,
     "events_distinct_users": _touch_events,
 }

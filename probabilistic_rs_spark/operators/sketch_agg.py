@@ -59,6 +59,7 @@ _VALUE_KIND = {
     "hll": "hash",      # JVM-side xxhash64 → kernel only does register max
     "cms": "hash",      # JVM-side xxhash64 → kernel only does counter scatter
     "quotient": "hash",  # JVM-side xxhash64 → kernel takes top p bits, sorts
+    "theta": "hash",    # JVM-side xxhash64 → kernel keeps the k smallest (KMV)
 
     "tdigest": "float",
     "kll": "float",
@@ -101,6 +102,10 @@ class SketchSpec:
             from probabilistic_rs_spark.sketches.quotient import QuotientFilter
 
             return QuotientFilter(**self.params)
+        if self.kind == "theta":
+            from probabilistic_rs_spark.sketches.theta import ThetaSketch
+
+            return ThetaSketch(**self.params)
         if self.kind == "tdigest":
             return TDigest(**self.params)
         return KLLSketch(**self.params)

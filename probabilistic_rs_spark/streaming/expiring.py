@@ -74,8 +74,13 @@ def streaming_windowed_sketch(
     reference's level expiry).
 
     The value column must already be what the sketch kind consumes
-    (bloom: string/binary item; hll/cms: a 64-bit hash — compute with
-    ``F.xxhash64`` upstream; tdigest/kll: double).
+    (bloom: string/binary item; hll/cms/theta: a 64-bit hash — compute
+    with ``F.xxhash64`` upstream; tdigest/kll: double).
+
+    With ``spec.kind == 'theta'`` the emitted per-window states compose
+    with :mod:`probabilistic_rs_spark.operators.set_ops`: week-over-week
+    retention is ``theta_a_not_b(this_week, last_week)`` on two emitted
+    states — no rescan, no second pipeline.
     """
     make = spec.make
     kind = spec.kind
@@ -100,7 +105,7 @@ def streaming_windowed_sketch(
         for pdf in pdfs:
             vals = pdf["__v"]
             n += len(vals)
-            if kind in ("hll", "cms"):
+            if kind in ("hll", "cms", "theta"):
                 import numpy as np
 
                 sk.update_hashes(vals.to_numpy(dtype="int64").view("uint64"))
@@ -154,7 +159,7 @@ def streaming_windowed_sketch(
 
 def _value_expr(spec: SketchSpec, value_col: str):
     c = F.col(value_col)
-    if spec.kind in ("hll", "cms"):
+    if spec.kind in ("hll", "cms", "theta"):
         return F.xxhash64(c.cast("string")).alias("__v")
     if spec.kind == "nbloom":
         from probabilistic_rs_spark.operators.sketch_agg import (

@@ -136,6 +136,32 @@ class TestBitEqualityFamilies:
 
     @given(hs=hashes_strategy, key=seed_strategy)
     @settings(**_SETTINGS)
+    def test_theta_merge_tree_invariant(self, hs, key):
+        """Theta/KMV joins the bit-equality family: the state is a pure
+        function of the absorbed distinct-hash set (k smallest + the
+        (k+1)-th as θ), so any partitioning and merge tree — INCLUDING
+        trees whose intermediate nodes trim at different thresholds —
+        reproduces the one-shot bytes. A tiny k forces random cases
+        across the exact→sampling boundary at different tree depths."""
+        from probabilistic_rs_spark.sketches.theta import ThetaSketch
+
+        arr = np.array(hs, dtype=np.uint64)
+        ref = ThetaSketch(k=16)
+        ref.update_hashes(arr)
+        parts = _partials(key, 4, hs)
+        sks = []
+        for p in parts:
+            sk = ThetaSketch(k=16)
+            sk.update_hashes(np.array(p, dtype=np.uint64))
+            sks.append(sk)
+        for dst, src in _merge_orders(key ^ 0x77, len(sks)):
+            sks[dst].merge(sks[src])
+        assert sks[0].to_bytes() == ref.to_bytes()
+        # n_updates is additive through any tree
+        assert ThetaSketch.from_bytes(sks[0].to_bytes()).n_updates == len(hs)
+
+    @given(hs=hashes_strategy, key=seed_strategy)
+    @settings(**_SETTINGS)
     def test_quotient_multiset_merge_invariant(self, hs, key):
         from probabilistic_rs_spark.sketches.quotient import QuotientFilter
 

@@ -343,8 +343,19 @@ class TestCuckooShardsEquivalence:
         from its shard probes exactly like the broadcast probe of that
         shard; (b) folding the same inserts in two generations through
         the apply-ops kernel semantics (np.unique per generation +
-        contains-prefilter idempotency) is bit-identical to a one-shot
-        build — the cross-generation idempotency contract."""
+        contains-prefilter idempotency) is VERDICT-identical to a
+        one-shot build on every inserted hash and every probe.
+
+        Verdict-identical, NOT bit-identical: cuckoo slot layout is
+        insertion-order-sensitive (two fingerprints sharing a bucket fill
+        its slots in arrival order — hypothesis found exactly that
+        counterexample), and a (fp, bucket)-colliding pair is collapsed
+        to one copy by the fold's contains-prefilter but kept as two by a
+        one-shot bulk insert (the documented ≤FPR collision collapse).
+        Cuckoo's BIT-level determinism contract is the narrower
+        sorted-unique single-shot build, gated in test_properties.py;
+        what generations must preserve is membership semantics, asserted
+        here."""
         from probabilistic_rs_spark.operators.cuckoo import _shard_geometry
         from probabilistic_rs_spark.sketches.cuckoo import NativeCuckooFilter
 
@@ -381,8 +392,22 @@ class TestCuckooShardsEquivalence:
                 if len(ins):
                     cf.insert_hashes(ins)
         assert built.keys() == folded.keys()
-        for shard in built:
-            assert built[shard].to_bytes() == folded[shard].to_bytes()
+        # every inserted hash: member through BOTH builds' routed shard
+        for h in arr:
+            shard = int(np.int64(h) % np.int64(n_shards))
+            assert bool(
+                folded[shard].contains_hashes(np.array([h], dtype=np.uint64))[0]
+            )
+        # arbitrary probes: identical verdicts shard-by-shard
+        parr = np.array(probes, dtype=np.uint64)
+        proutes = (parr.view(np.int64) % np.int64(n_shards)).astype(np.int64)
+        for shard in np.unique(proutes):
+            sl = parr[proutes == shard]
+            if int(shard) not in built:
+                continue  # neither family holds this shard: both verdict False
+            va = built[int(shard)].contains_hashes(sl)
+            vb = folded[int(shard)].contains_hashes(sl)
+            assert np.array_equal(va, vb)
 
 
 # ---------------------------------------------------------------------------
