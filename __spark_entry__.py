@@ -702,35 +702,53 @@ def _q_hll_reaggregate_states(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cms_probe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast-CMS point probe (counting analog of contains_bulk,
-    src/bloom/filter.rs:440-477): build once, estimate per probe row
-    map-side."""
-    from probabilistic_rs_spark.operators.heavy_hitters import build_cms_state, cms_probe
-
-    ev = _t(spark, sf_dir, "events")
-    state = build_cms_state(ev, "event_type", eps=0.001, delta=0.001)
-    probes = ev.select("event_type").distinct()
-    return cms_probe(probes, "event_type", state).select(
-        F.col("event_type").alias("key"), "est_count"
-    )
-
-
-def _q_native_cms_probe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The all-JVM CMS point probe (native-probe family, round 4): same
-    build, but the estimate is ``least`` over d broadcast-row lookups
-    computed entirely in whole-stage codegen — zero Python per probe row.
-    Estimates are exact here (event_type cardinality ≪ w, no collisions),
-    so the exact-count oracle hash-matches."""
+    """CMS point probes, BOTH probe families in one gate (round-7
+    consolidation freeing a driver slot under the 50-query cap): one
+    build (counting analog of contains_bulk, src/bloom/filter.rs:
+    440-477), estimated per probe row by the pandas map-side kernel AND
+    by the all-JVM codegen probe (``least`` over d broadcast-row lookups
+    — zero Python per probe row). Both estimate columns are exact here
+    (event_type cardinality ≪ w, no collisions) and must agree with the
+    exact-count oracle; a divergence in either family breaks its column's
+    hash."""
     from probabilistic_rs_spark.operators.heavy_hitters import (
         build_cms_state,
+        cms_probe,
         native_cms_probe,
     )
 
     ev = _t(spark, sf_dir, "events")
     state = build_cms_state(ev, "event_type", eps=0.001, delta=0.001)
     probes = ev.select("event_type").distinct()
-    return native_cms_probe(probes, "event_type", state).select(
-        F.col("event_type").alias("key"), "est_count"
+    pandas_est = cms_probe(probes, "event_type", state).select(
+        F.col("event_type").alias("key"), F.col("est_count").alias("est_pandas")
+    )
+    native_est = native_cms_probe(probes, "event_type", state).select(
+        F.col("event_type").alias("key"), F.col("est_count").alias("est_native")
+    )
+    return pandas_est.join(native_est, "key", "full").select(
+        "key", "est_pandas", "est_native"
+    )
+
+
+def _q_mg_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries deterministic top-k (round 7, sketches/mg.py —
+    Misra & Gries 1982; merge algebra per Agarwal et al., PODS 2012):
+    the frequency family CMS cannot replace — it carries the ACTUAL keys
+    (no probe set needed), uses no hashing (no δ failure probability),
+    and every output row ships its self-certifying bound
+    ``est_count <= true <= est_count + max_undercount``. Partial states
+    are bounded at k entries regardless of key cardinality, so the
+    shuffle is state-sized. k=4096 ≫ the supplier cardinality at sf0.01
+    → no compaction anywhere → max_undercount = 0 and every count is
+    exact, so the exact GROUP BY/HAVING oracle hash-matches (compaction-
+    regime bounds are gated in tests/test_mg.py and generatively in
+    tests/test_properties.py)."""
+    from probabilistic_rs_spark.operators.heavy_hitters import mg_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    return mg_topk(li, "l_suppkey", k=4096, threshold=650).select(
+        "key", "est_count", "max_undercount"
     )
 
 
@@ -1391,7 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
         "hll_reaggregate_states": _q_hll_reaggregate_states,
         "cms_probe_event_counts": _q_cms_probe_event_counts,
-        "native_cms_probe_event_counts": _q_native_cms_probe_event_counts,
+        "mg_top_suppliers": _q_mg_top_suppliers,
         "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
         "native_windowed_bloom_recent_users": _q_native_windowed_bloom_recent_users,
         "windowed_bloom_partitioned_members": _q_windowed_bloom_partitioned_members,
@@ -1523,12 +1541,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY event_type"
         ),
         "cms_probe_event_counts": (
-            "SELECT event_type AS key, count(*)::BIGINT AS est_count "
-            "FROM events GROUP BY event_type"
+            "SELECT event_type AS key, count(*)::BIGINT AS est_pandas, "
+            "count(*)::BIGINT AS est_native FROM events GROUP BY event_type"
         ),
-        "native_cms_probe_event_counts": (
-            "SELECT event_type AS key, count(*)::BIGINT AS est_count "
-            "FROM events GROUP BY event_type"
+        "mg_top_suppliers": (
+            "SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*)::BIGINT AS est_count, "
+            "0.0::DOUBLE AS max_undercount "
+            "FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 650"
         ),
         "windowed_bloom_recent_users": (
             "SELECT DISTINCT user_id FROM events "

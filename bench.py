@@ -356,6 +356,23 @@ def q_events_distinct_users(spark):
     return n, out.count()
 
 
+def q_pages_mg_hosts(spark):
+    """Misra–Gries deterministic heavy hitters (round 7): exact-key top
+    hosts with self-certifying undercount bounds, k=2048 far below the
+    host cardinality at sf0.1 → genuinely in compaction regime. One scan,
+    state-bounded partials, state-sized shuffle — the deterministic
+    complement of pages_heavy_hosts' CMS+tracker plan."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.heavy_hitters import mg_topk
+
+    pages = spark.read.parquet(PAGES_PATH).select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+    )
+    out = mg_topk(pages, "host", k=2048, threshold=int(PAGES_ROWS * 0.002))
+    return PAGES_ROWS, out.count()
+
+
 def q_pages_theta_overlap(spark):
     """Theta/KMV set algebra (round 7): per-lang distinct-host audiences
     in ONE scan (KMV partials through the generic pipeline), then direct
@@ -385,6 +402,7 @@ QUERIES = {
     "pages_windowed_partitioned": q_pages_windowed_partitioned,
     "pages_simhash_fingerprints": q_pages_simhash_fingerprints,
     "pages_minhash_signatures": q_pages_minhash_signatures,
+    "pages_mg_hosts": q_pages_mg_hosts,
     "pages_theta_overlap": q_pages_theta_overlap,
     "lineitem_flagship_multisketch": q_lineitem_flagship,
     "events_distinct_users": q_events_distinct_users,
@@ -436,6 +454,7 @@ REWARM = {
     "pages_windowed_partitioned": _touch_pages,
     "pages_simhash_fingerprints": _touch_pages,
     "pages_minhash_signatures": _touch_pages,
+    "pages_mg_hosts": _touch_pages,
     "pages_theta_overlap": _touch_pages,
     "lineitem_flagship_multisketch": _touch_lineitem,
     "events_distinct_users": _touch_events,

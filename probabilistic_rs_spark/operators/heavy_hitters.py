@@ -681,3 +681,98 @@ def cms_partitioned_probe(
     return out.withColumn(
         out_col, F.coalesce(F.col("__cmsp_est"), F.lit(0).cast("bigint"))
     ).drop("__cmsph", "__cmsp_est")
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries summaries — deterministic mergeable top-k (round 7)
+# ---------------------------------------------------------------------------
+
+def mg_states(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    k: int = 1024,
+    tree_fanin: int | None = None,
+) -> DataFrame:
+    """One merged Misra–Gries summary per group through the generic
+    partial/merge pipeline (``sketches/mg.py``): ``group_cols…, mg_state
+    binary, n_updates long``. Partial states are bounded at k entries +
+    key bytes regardless of row count or key cardinality, so the shuffle
+    is state-sized — the same scale contract as every other family."""
+    from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+
+    group_cols = group_cols or []
+    spec = SketchSpec("mg", "mg", col, {"k": k})
+    return sketch_aggregate(df, group_cols, [spec], tree_fanin=tree_fanin)
+
+
+def mg_topk(
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | None = None,
+    k: int = 1024,
+    threshold: int = 1,
+    tree_fanin: int | None = None,
+) -> DataFrame:
+    """Deterministic top-k / heavy hitters with EXACT keys and a
+    self-certifying error bound — the complement of
+    :func:`cms_heavy_hitters`:
+
+    * no probe set needed (MG carries the keys; CMS needs candidates),
+    * no hashing, no δ failure probability,
+    * every row ships its guarantee: ``est_count <= true count <=
+      est_count + max_undercount``, and any key whose true count exceeds
+      ``max_undercount`` is guaranteed present (PODS'12 invariant). When
+      the per-group key cardinality never exceeded k anywhere,
+      ``max_undercount`` is 0 and every count is exact.
+
+    Output: ``group_cols…, key string, est_count long, max_undercount
+    double`` — retained keys with ``est_count >= threshold``, exploded
+    from the merged per-group summaries (state-sized work; input data is
+    scanned exactly once by the build)."""
+    from pyspark.sql.types import (
+        DoubleType as _D,
+        LongType as _L,
+        StringType as _S,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    from probabilistic_rs_spark.sketches.mg import MisraGries
+
+    group_cols = group_cols or []
+    states = mg_states(df, col, group_cols, k=k, tree_fanin=tree_fanin)
+    in_schema = states.schema
+    out_schema = _ST(
+        [in_schema[g] for g in group_cols]
+        + [
+            _SF("key", _S(), False),
+            _SF("est_count", _L(), False),
+            _SF("max_undercount", _D(), False),
+        ]
+    )
+    thresh = int(threshold)
+
+    def explode_states(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for _, r in pdf.iterrows():
+                sk = MisraGries.from_bytes(bytes(r["mg_state"]))
+                d = sk.max_undercount()
+                base = {g: r[g] for g in group_cols}
+                for key, est in sk.top(threshold=thresh):
+                    rows.append(
+                        {
+                            **base,
+                            "key": key.decode("utf-8"),
+                            "est_count": int(est),
+                            "max_undercount": float(d),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            ) if rows else pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema.fields}
+            )
+
+    return states.mapInPandas(explode_states, out_schema)

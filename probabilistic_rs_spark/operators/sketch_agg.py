@@ -60,6 +60,7 @@ _VALUE_KIND = {
     "cms": "hash",      # JVM-side xxhash64 → kernel only does counter scatter
     "quotient": "hash",  # JVM-side xxhash64 → kernel takes top p bits, sorts
     "theta": "hash",    # JVM-side xxhash64 → kernel keeps the k smallest (KMV)
+    "mg": "bytes",      # raw keys (MG carries ACTUAL keys — no hashing at all)
 
     "tdigest": "float",
     "kll": "float",
@@ -106,6 +107,10 @@ class SketchSpec:
             from probabilistic_rs_spark.sketches.theta import ThetaSketch
 
             return ThetaSketch(**self.params)
+        if self.kind == "mg":
+            from probabilistic_rs_spark.sketches.mg import MisraGries
+
+            return MisraGries(**self.params)
         if self.kind == "tdigest":
             return TDigest(**self.params)
         return KLLSketch(**self.params)

@@ -24,6 +24,7 @@ TYPE_NBLOOM = 7  # native-hash Bloom: JVM xxhash64 position family
 TYPE_QUOTIENT = 8
 TYPE_NCUCKOO = 9  # native cuckoo: xxhash64-derived alternate buckets (JVM-probeable)
 TYPE_THETA = 10  # theta/KMV: k-minimum-values distinct sketch with set algebra
+TYPE_MG = 11  # Misra-Gries: deterministic mergeable top-k with exact keys
 
 _HEADER = struct.Struct("<4sHH")  # magic, type, version
 

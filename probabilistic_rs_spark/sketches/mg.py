@@ -1,0 +1,205 @@
+"""Misra–Gries summary — deterministic mergeable top-k / heavy hitters.
+
+The reference's frequency story is CMS (``specs/overview.md:20-24``,
+planned); CMS answers POINT queries (you must know which keys to probe)
+with a probabilistic overestimate. The Misra–Gries summary (Misra &
+Gries 1982; merge algebra from Agarwal, Cormode, Huang, Phillips, Wei,
+Yi — "Mergeable Summaries", PODS 2012) is the complementary structure:
+
+* carries the ACTUAL keys — top-k comes straight out of the state, no
+  probe set needed;
+* deterministic — no hash functions, no δ failure probability;
+* each estimate is an UNDERestimate with a self-certifying bound
+  computable from the state alone:
+
+      est(x) <= true(x) <= est(x) + D,
+      D = (n_total − M) / (k + 1)
+
+  where ``n_total`` is the total absorbed weight and ``M`` the sum of
+  retained counters (PODS'12 §3.1 invariant: every decrement step
+  removes ≥ k+1 units of weight, and the invariant is preserved by the
+  merge below — so any key with true count > D is GUARANTEED retained).
+
+Merge: add counter maps, then if more than k keys survive subtract the
+(k+1)-th largest counter from every counter and drop the non-positive
+ones. Counter VALUES after compaction depend on the merge tree, so this
+is a BOUND-INVARIANCE family like t-digest/KLL (SURVEY §2 item 33), not
+a bit-equality one: any partitioning / merge order keeps the invariant
+above, which is what the generative gate asserts. With fewer than k+1
+distinct keys no compaction ever fires and every count is EXACT under
+any merge tree.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from probabilistic_rs_spark.errors import SketchConfigError, SketchStateError
+from probabilistic_rs_spark.sketches.base import TYPE_MG, pack_header, unpack_header, unpack_meta
+
+_META = struct.Struct("<qqq")  # k, n_total, n_entries
+
+
+class MisraGries:
+    """Mergeable MG summary over byte-string keys.
+
+    Same Arrow division of labor as the Bloom parity kernel: batches
+    arrive as a zero-copy padded byte matrix (``pad_batch_arrow``), the
+    kernel pre-aggregates the batch with one vectorized ``np.unique``
+    over (row ‖ length) composites and only touches the Python dict once
+    per DISTINCT key in the batch.
+    """
+
+    __slots__ = ("k", "counts", "n_total")
+
+    def __init__(self, k: int = 1024):
+        if not (1 <= k <= (1 << 22)):
+            raise SketchConfigError(f"MG k must be in [1, 2^22], got {k}")
+        self.k = int(k)
+        self.counts: dict[bytes, int] = {}
+        self.n_total = 0
+
+    # -- updates ----------------------------------------------------------
+
+    def update_padded(self, buf: np.ndarray, lens: np.ndarray) -> None:
+        n = len(lens)
+        if n == 0:
+            return
+        # composite rows: padded bytes ‖ 8-byte length — a key with
+        # trailing NULs cannot alias a shorter key + zero padding
+        comp = np.concatenate(
+            [
+                np.ascontiguousarray(buf[:n]),
+                lens.astype("<u8").view(np.uint8).reshape(n, 8),
+            ],
+            axis=1,
+        )
+        void = np.ascontiguousarray(comp).view(
+            np.dtype((np.void, comp.shape[1]))
+        ).ravel()
+        _, first_idx, batch_counts = np.unique(
+            void, return_index=True, return_counts=True
+        )
+        c = self.counts
+        for i, cnt in zip(first_idx, batch_counts):
+            key = buf[i, : lens[i]].tobytes()
+            c[key] = c.get(key, 0) + int(cnt)
+        self.n_total += n
+        self._compact()
+
+    def update_batch(self, items) -> None:
+        """Convenience path for tests / driver-side feeds."""
+        for it in items:
+            key = it if isinstance(it, bytes) else str(it).encode("utf-8")
+            self.counts[key] = self.counts.get(key, 0) + 1
+        self.n_total += len(items)
+        self._compact()
+
+    def _compact(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        vals = np.fromiter(self.counts.values(), dtype=np.int64, count=len(self.counts))
+        # (k+1)-th largest: at most k values are strictly greater
+        cstar = int(np.partition(vals, -(self.k + 1))[-(self.k + 1)])
+        self.counts = {
+            key: v - cstar for key, v in self.counts.items() if v > cstar
+        }
+
+    # -- merge ------------------------------------------------------------
+
+    def merge(self, other: "MisraGries") -> None:
+        if self.k != other.k:
+            raise SketchConfigError(
+                f"cannot merge MG summaries with different k: {self.k} vs {other.k}"
+            )
+        c = self.counts
+        for key, v in other.counts.items():
+            c[key] = c.get(key, 0) + v
+        self.n_total += other.n_total
+        self._compact()
+
+    # -- estimates --------------------------------------------------------
+
+    @property
+    def retained_weight(self) -> int:
+        return sum(self.counts.values())
+
+    def max_undercount(self) -> float:
+        """The self-certifying bound D: for EVERY key,
+        ``est <= true <= est + D`` (est = 0 for keys not retained)."""
+        return (self.n_total - self.retained_weight) / (self.k + 1)
+
+    @property
+    def is_exact(self) -> bool:
+        """True iff no compaction has fired anywhere in this summary's
+        history (D == 0): every retained count is the true count."""
+        return self.n_total == self.retained_weight
+
+    def estimate(self, key) -> int:
+        kb = key if isinstance(key, bytes) else str(key).encode("utf-8")
+        return self.counts.get(kb, 0)
+
+    def top(self, threshold: int = 1) -> list[tuple[bytes, int]]:
+        """Retained keys with ``est >= threshold``, sorted by descending
+        count then key (deterministic output order)."""
+        return sorted(
+            ((key, v) for key, v in self.counts.items() if v >= threshold),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+
+    def stats(self) -> dict:
+        return {
+            "k": self.k,
+            "entries": len(self.counts),
+            "n_total": self.n_total,
+            "retained_weight": self.retained_weight,
+            "max_undercount": self.max_undercount(),
+            "exact": self.is_exact,
+        }
+
+    # -- serialization ----------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        keys = sorted(self.counts)  # canonical order within a state
+        counts = np.array([self.counts[key] for key in keys], dtype="<i8")
+        lens = np.array([len(key) for key in keys], dtype="<i4")
+        return (
+            pack_header(TYPE_MG)
+            + _META.pack(self.k, self.n_total, len(keys))
+            + counts.tobytes()
+            + lens.tobytes()
+            + b"".join(keys)
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "MisraGries":
+        _, off = unpack_header(data, TYPE_MG)
+        k, n_total, n_entries = unpack_meta(_META, data, off)
+        off += _META.size
+        sk = cls(k=k)
+        if n_entries > k:
+            raise SketchStateError(f"MG entries {n_entries} exceed k={k}")
+        counts = np.frombuffer(data, dtype="<i8", count=n_entries, offset=off)
+        off += 8 * n_entries
+        lens = np.frombuffer(data, dtype="<i4", count=n_entries, offset=off)
+        off += 4 * n_entries
+        need = off + int(lens.sum())
+        if len(data) < need:
+            raise SketchStateError(
+                f"MG state truncated: need {need} bytes, have {len(data)}"
+            )
+        pos = off
+        c = {}
+        for i in range(n_entries):
+            ln = int(lens[i])
+            c[data[pos : pos + ln]] = int(counts[i])
+            pos += ln
+        if any(v <= 0 for v in c.values()):
+            raise SketchStateError("MG counters must be positive")
+        sk.counts = c
+        sk.n_total = n_total
+        if sk.retained_weight > n_total:
+            raise SketchStateError("MG retained weight exceeds absorbed total")
+        return sk

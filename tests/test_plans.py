@@ -174,3 +174,46 @@ class TestHashKeyedProbeShuffles:
             assert not any("event_type" in ln for ln in exch), exch
         finally:
             blocks.unpersist()
+
+
+class TestRound7FamilyPlans:
+    def test_theta_overlap_state_join_is_broadcast_not_cartesian(self, spark):
+        """theta_overlap joins the per-group STATE table to itself (≤ one
+        row per group, ≤ 8k bytes each): the join must be a broadcast
+        nested-loop over the tiny relation — never a CartesianProduct —
+        and the expensive input scan must appear exactly twice or less
+        (the build; never once per pair)."""
+        from probabilistic_rs_spark.operators.set_ops import theta_overlap, theta_states
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        states = theta_states(ev, "user_id", ["event_type"], k=256)
+        out = theta_overlap(states, ["event_type"])
+        plan = _executed(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+    def test_theta_build_prunes_to_needed_columns(self, spark):
+        from probabilistic_rs_spark.operators.set_ops import theta_states
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        states = theta_states(ev, "user_id", ["event_type"], k=256)
+        scan_line = [l for l in _executed(states).splitlines() if "ReadSchema" in l]
+        assert scan_line
+        schema = scan_line[0].split("ReadSchema:", 1)[1].strip()
+        assert schema == "struct<user_id:bigint,event_type:string>", schema
+
+    def test_mg_build_is_single_scan_single_state_shuffle(self, spark):
+        """mg_topk: one parquet scan, one Exchange (the state shuffle to
+        the merge stage) — the explode of merged states adds no further
+        exchange."""
+        from probabilistic_rs_spark.operators.heavy_hitters import mg_topk
+
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        out = mg_topk(li, "l_suppkey", k=1024, threshold=1)
+        plan = _executed(out)
+        assert plan.count("Scan parquet") == 1
+        # AQE may stage the single shuffle; there must be no second
+        # logical exchange beyond the partials->merge hashpartitioning
+        assert plan.count("Exchange hashpartitioning") <= 1
+        scan_line = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert scan_line and "l_comment" not in scan_line[0]

@@ -226,6 +226,41 @@ class TestBitEqualityFamilies:
 
 class TestBoundInvarianceFamilies:
     @given(
+        items=st.lists(st.integers(0, 40), min_size=1, max_size=400),
+        key=seed_strategy,
+    )
+    @settings(**_SETTINGS)
+    def test_mg_bound_holds_for_any_merge_tree(self, items, key):
+        """Misra–Gries PODS'12 invariant under random partitionings and
+        merge trees: est <= true <= est + D with D = (N − M)/(k+1) read
+        off the merged state, D never exceeding N/(k+1), and every key
+        with true count > D retained. A tiny k over a 41-symbol alphabet
+        forces compaction at varying tree depths."""
+        from collections import Counter
+
+        from probabilistic_rs_spark.sketches.mg import MisraGries
+
+        keys = [str(i) for i in items]
+        true = Counter(keys)
+        parts = _partials(key, 4, keys)
+        sks = []
+        for p in parts:
+            sk = MisraGries(k=5)
+            sk.update_batch(p)
+            sks.append(sk)
+        for dst, src in _merge_orders(key ^ 0x99, len(sks)):
+            sks[dst].merge(sks[src])
+        m = sks[0]
+        assert m.n_total == len(keys)
+        d = m.max_undercount()
+        assert d <= len(keys) / 6.0
+        for kk, t in true.items():
+            est = m.estimate(kk)
+            assert est <= t <= est + d + 1e-9
+            if t > d:
+                assert est > 0
+
+    @given(
         vals=st.lists(
             st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
             min_size=20,
