@@ -731,6 +731,45 @@ def _q_cms_probe_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cs_moments_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count sketch + AMS F2 (round 7, sketches/countsketch.py —
+    Charikar–Chen–Farach-Colton 2002 / Alon–Matias–Szegedy 1996): the
+    SIGNED frequency family CMS cannot express — unbiased point estimates
+    (collisions cancel instead of accumulating) and the second moment
+    ``F2 = Σ count(x)²`` = the key's SELF-JOIN SIZE, the skew statistic a
+    planner reads before committing a 100 TB shuffle join. One state,
+    built in one scan through the generic partial/merge pipeline; probed
+    by BOTH families (broadcast pandas kernel AND the zero-Python codegen
+    probe: median of d signed lookups via array_sort — the signed member
+    of the native-probe family); ``f2`` read off the same state. The
+    event_type cardinality ≪ w here, so every estimate is exact and the
+    exact GROUP BY / SUM(c²) oracle hash-matches (estimate-regime bounds
+    are gated in tests/test_countsketch.py and the bit-equality merge
+    algebra generatively in tests/test_properties.py)."""
+    from probabilistic_rs_spark.operators.moments import (
+        build_cs_state,
+        cs_probe,
+        f2_from_state,
+        native_cs_probe,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    state = build_cs_state(ev, "event_type", eps=0.02, delta=0.001)
+    probes = ev.select("event_type").distinct()
+    both = native_cs_probe(
+        cs_probe(probes, "event_type", state, out_col="est_pandas"),
+        "event_type",
+        state,
+        out_col="est_native",
+    )
+    return both.select(
+        F.col("event_type").alias("key"),
+        "est_pandas",
+        "est_native",
+        F.lit(int(f2_from_state(state))).alias("f2"),
+    )
+
+
 def _q_mg_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Misra–Gries deterministic top-k (round 7, sketches/mg.py —
     Misra & Gries 1982; merge algebra per Agarwal et al., PODS 2012):
@@ -1208,30 +1247,37 @@ def _q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from probabilistic_rs_spark.operators.dedup import embedding_cosine_pairs
+    """BOTH hyperplane-LSH regimes in one gate (round-7 consolidation
+    freeing a driver slot under the 50-query cap — the r5/r6 idiom):
 
-    out = embedding_cosine_pairs(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.4
-    )
-    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    * ``regime='base'``: threshold 0.4 over the raw embeddings — coarse
+      auto-derived (planes, tables), candidate-heavy;
+    * ``regime='planted'``: threshold 0.95 over embeddings plus planted
+      exact duplicates (vec_id+10000) — the regime LSH is built for:
+      fine (planes, tables) (collision prob q→1), candidates collapse to
+      genuine near-dups, and recall for the planted pairs is structural
+      (identical vectors share every bucket).
 
-
-def _q_embedding_cosine_neardup_high(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """High-threshold near-dup — the regime LSH is built for: embeddings
-    plus planted exact duplicates (vec_id+10000), threshold 0.95. The
-    auto-derived (planes, tables) are much finer here (collision prob
-    q→1), candidates collapse to genuine near-dups, and recall for the
-    planted pairs is structural (identical vectors share every bucket)."""
+    A miss in either regime breaks its regime-tagged rows' hash."""
     from probabilistic_rs_spark.operators.dedup import embedding_cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    low = embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.4)
     aug = emb.union(
         emb.where(F.col("vec_id") % 10 == 0).select(
             (F.col("vec_id") + F.lit(10000)).alias("vec_id"), "embedding"
         )
     )
-    out = embedding_cosine_pairs(aug, "vec_id", "embedding", threshold=0.95)
-    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    high = embedding_cosine_pairs(aug, "vec_id", "embedding", threshold=0.95)
+    return low.select(
+        F.lit("base").alias("regime"), "id_a", "id_b",
+        F.round("cosine", 4).alias("cosine"),
+    ).unionAll(
+        high.select(
+            F.lit("planted").alias("regime"), "id_a", "id_b",
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
 
 
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1409,6 +1455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_shipdays_quantile_bounds": _q_kll_shipdays_bounds,
         "hll_reaggregate_states": _q_hll_reaggregate_states,
         "cms_probe_event_counts": _q_cms_probe_event_counts,
+        "cs_moments_event_types": _q_cs_moments_event_types,
         "mg_top_suppliers": _q_mg_top_suppliers,
         "windowed_bloom_recent_users": _q_windowed_bloom_recent_users,
         "native_windowed_bloom_recent_users": _q_native_windowed_bloom_recent_users,
@@ -1429,7 +1476,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": _q_dedup_components,
         "dedup_canonical_docs": _q_dedup_canonical_docs,
         "embedding_cosine_neardup": _q_embedding_cosine_neardup,
-        "embedding_cosine_neardup_high": _q_embedding_cosine_neardup_high,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ivf_ann_recall": _q_ivf_ann_recall,
         "text_stats": _q_text_stats,
@@ -1544,6 +1590,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS key, count(*)::BIGINT AS est_pandas, "
             "count(*)::BIGINT AS est_native FROM events GROUP BY event_type"
         ),
+        "cs_moments_event_types": (
+            "WITH c AS (SELECT event_type AS key, count(*)::BIGINT AS cnt "
+            "FROM events GROUP BY event_type) "
+            "SELECT key, cnt AS est_pandas, cnt AS est_native, "
+            "(SELECT CAST(SUM(cnt * cnt) AS BIGINT) FROM c) AS f2 FROM c"
+        ),
         "mg_top_suppliers": (
             "SELECT CAST(l_suppkey AS VARCHAR) AS key, count(*)::BIGINT AS est_count, "
             "0.0::DOUBLE AS max_undercount "
@@ -1643,17 +1695,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c.v IS NULL OR d.doc_id = c.component"
         ),
         "embedding_cosine_neardup": (
-            "WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings) "
-            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-            "round(list_cosine_similarity(a.v, b.v), 4) AS cosine "
-            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(a.v, b.v) >= 0.4"
-        ),
-        "embedding_cosine_neardup_high": (
             "WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings), "
             "e AS (SELECT * FROM e0 UNION ALL "
             "      SELECT vec_id + 10000, v FROM e0 WHERE vec_id % 10 = 0) "
-            "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            "SELECT 'base' AS regime, a.vec_id AS id_a, b.vec_id AS id_b, "
+            "round(list_cosine_similarity(a.v, b.v), 4) AS cosine "
+            "FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.v, b.v) >= 0.4 "
+            "UNION ALL "
+            "SELECT 'planted' AS regime, a.vec_id AS id_a, b.vec_id AS id_b, "
             "round(list_cosine_similarity(a.v, b.v), 4) AS cosine "
             "FROM e a JOIN e b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.v, b.v) >= 0.95"

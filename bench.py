@@ -391,6 +391,32 @@ def q_pages_theta_overlap(spark):
     return PAGES_ROWS, out.count()
 
 
+def q_pages_cs_moments(spark):
+    """Count sketch + AMS F2 (round 7): unbiased per-host frequency
+    estimates AND the host self-join size in one scan — the skew
+    statistic a 100 TB join plan reads first. Build through the generic
+    pipeline (state-sized shuffle), probe = the zero-Python codegen
+    median-of-signed-lookups, F2 off the same state. Host cardinality at
+    sf0.1 is far below w=32768, so the work measured is the honest build
+    + probe, not estimator noise."""
+    from pyspark.sql import functions as F
+
+    from probabilistic_rs_spark.operators.moments import (
+        build_cs_state,
+        f2_from_state,
+        native_cs_probe,
+    )
+
+    pages = spark.read.parquet(PAGES_PATH).select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+    )
+    state = build_cs_state(pages, "host", eps=0.01, delta=0.001)
+    f2 = f2_from_state(state)
+    probes = pages.select("host").distinct()
+    n = native_cs_probe(probes, "host", state).where(F.col("est_count") > 0).count()
+    return PAGES_ROWS, n + int(f2 > 0)
+
+
 QUERIES = {
     "pages_hll_lang_day": q_pages_hll_lang_day,
     "pages_heavy_hosts": q_pages_heavy_hosts,
@@ -404,6 +430,7 @@ QUERIES = {
     "pages_minhash_signatures": q_pages_minhash_signatures,
     "pages_mg_hosts": q_pages_mg_hosts,
     "pages_theta_overlap": q_pages_theta_overlap,
+    "pages_cs_moments": q_pages_cs_moments,
     "lineitem_flagship_multisketch": q_lineitem_flagship,
     "events_distinct_users": q_events_distinct_users,
 }
@@ -456,6 +483,7 @@ REWARM = {
     "pages_minhash_signatures": _touch_pages,
     "pages_mg_hosts": _touch_pages,
     "pages_theta_overlap": _touch_pages,
+    "pages_cs_moments": _touch_pages,
     "lineitem_flagship_multisketch": _touch_lineitem,
     "events_distinct_users": _touch_events,
 }

@@ -61,6 +61,7 @@ _VALUE_KIND = {
     "quotient": "hash",  # JVM-side xxhash64 → kernel takes top p bits, sorts
     "theta": "hash",    # JVM-side xxhash64 → kernel keeps the k smallest (KMV)
     "mg": "bytes",      # raw keys (MG carries ACTUAL keys — no hashing at all)
+    "cs": "hash2",      # KM base-hash pair → kernel derives buckets AND signs
 
     "tdigest": "float",
     "kll": "float",
@@ -111,6 +112,10 @@ class SketchSpec:
             from probabilistic_rs_spark.sketches.mg import MisraGries
 
             return MisraGries(**self.params)
+        if self.kind == "cs":
+            from probabilistic_rs_spark.sketches.countsketch import CountSketch
+
+            return CountSketch(**self.params)
         if self.kind == "tdigest":
             return TDigest(**self.params)
         return KLLSketch(**self.params)

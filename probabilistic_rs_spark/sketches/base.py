@@ -25,6 +25,7 @@ TYPE_QUOTIENT = 8
 TYPE_NCUCKOO = 9  # native cuckoo: xxhash64-derived alternate buckets (JVM-probeable)
 TYPE_THETA = 10  # theta/KMV: k-minimum-values distinct sketch with set algebra
 TYPE_MG = 11  # Misra-Gries: deterministic mergeable top-k with exact keys
+TYPE_CS = 12  # count sketch: signed unbiased point estimates + AMS F2 moment
 
 _HEADER = struct.Struct("<4sHH")  # magic, type, version
 

@@ -109,10 +109,10 @@ def streaming_windowed_sketch(
                 import numpy as np
 
                 sk.update_hashes(vals.to_numpy(dtype="int64").view("uint64"))
-            elif kind == "nbloom":
+            elif kind in ("nbloom", "cs"):
                 # (h1, h2) KM base hashes computed JVM-side in the
                 # streaming projection — the stateful kernel is a bare
-                # position-derive + scatter, mirroring the batch build
+                # position/sign-derive + scatter, mirroring the batch build
                 import numpy as np
 
                 sk.update_base_hashes(np.array(vals.tolist(), dtype=np.int64))
@@ -161,7 +161,7 @@ def _value_expr(spec: SketchSpec, value_col: str):
     c = F.col(value_col)
     if spec.kind in ("hll", "cms", "theta"):
         return F.xxhash64(c.cast("string")).alias("__v")
-    if spec.kind == "nbloom":
+    if spec.kind in ("nbloom", "cs"):
         from probabilistic_rs_spark.operators.sketch_agg import (
             native_bloom_base_hash_exprs,
         )

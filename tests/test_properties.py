@@ -134,6 +134,44 @@ class TestBitEqualityFamilies:
             sks[dst].merge(sks[src])
         assert sks[0].to_bytes() == ref.to_bytes()
 
+    @given(
+        pairs=st.lists(
+            st.tuples(
+                st.integers(0, (1 << 62) - 1),
+                st.integers(0, (1 << 56) - 1),
+                st.integers(1, 1000),
+            ),
+            max_size=200,
+        ),
+        key=seed_strategy,
+    )
+    @settings(**_SETTINGS)
+    def test_countsketch_merge_tree_invariant(self, pairs, key):
+        """Count sketch is a LINEAR sketch (matrix add), so like CMS the
+        state is a pure function of the absorbed weighted multiset: any
+        partitioning and merge tree reproduces the one-shot bytes —
+        including the adaptive dense/sparse wire choice, which depends
+        only on the merged matrix."""
+        from probabilistic_rs_spark.sketches.countsketch import CountSketch
+
+        def absorb(sk, ps):
+            if ps:
+                base = np.array([[p[0], p[1]] for p in ps], dtype=np.int64)
+                c = np.array([p[2] for p in ps], dtype=np.int64)
+                sk.update_base_hashes(base, c)
+
+        ref = CountSketch(eps=0.05, delta=0.1)
+        absorb(ref, pairs)
+        parts = _partials(key, 3, pairs)
+        sks = []
+        for p in parts:
+            sk = CountSketch(eps=0.05, delta=0.1)
+            absorb(sk, p)
+            sks.append(sk)
+        for dst, src in _merge_orders(key ^ 0x44, len(sks)):
+            sks[dst].merge(sks[src])
+        assert sks[0].to_bytes() == ref.to_bytes()
+
     @given(hs=hashes_strategy, key=seed_strategy)
     @settings(**_SETTINGS)
     def test_theta_merge_tree_invariant(self, hs, key):
