@@ -56,6 +56,131 @@ def build_cs_state(
     return build_global_state(df, spec, tree_fanin=tree_fanin)
 
 
+def build_cs_state_weighted(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    eps: float = 0.02,
+    delta: float = 0.001,
+    tree_fanin: int | None = None,
+) -> bytes:
+    """Weighted / TURNSTILE build: each row contributes ``weight`` to its
+    key — weights may be NEGATIVE (deletions). The count sketch is a
+    linear sketch, so the turnstile model holds by construction (the
+    published setting of Charikar et al. / AMS): inserting then deleting
+    is bit-identical to never inserting, with no tombstones, no rebuild,
+    and no per-family delete machinery — the contrast with the
+    cuckoo/quotient ops-log folds, where deletion needs shard routing and
+    generation chaining. Partial emission reuses the generic merge stage
+    (``sketch_merge``) so fold order stays partition-id-sorted and
+    bit-deterministic."""
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from probabilistic_rs_spark.operators.sketch_agg import (
+        SketchSpec,
+        native_bloom_base_hash_exprs,
+        sketch_merge,
+    )
+
+    spec = SketchSpec("cs", "cs", key_col, {"eps": eps, "delta": delta})
+    h1, h2 = native_bloom_base_hash_exprs(F.col(key_col))
+    projected = df.select(
+        h1.alias("__h1"), h2.alias("__h2"), F.col(weight_col).cast("long").alias("__w")
+    )
+    out_schema = StructType(
+        [
+            StructField("__pid", IntegerType(), False),
+            StructField("cs_state", BinaryType(), False),
+            StructField("n_updates", LongType(), False),
+        ]
+    )
+    arrow_schema = to_arrow_schema(out_schema)
+    eps_l, delta_l = eps, delta
+
+    def build(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else 0
+        sk = CountSketch(eps=eps_l, delta=delta_l)
+        n = 0
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            base = np.stack(
+                [
+                    batch.column("__h1").to_numpy(zero_copy_only=False),
+                    batch.column("__h2").to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            ).astype(np.int64, copy=False)
+            w = batch.column("__w").to_numpy(zero_copy_only=False).astype(np.int64)
+            sk.update_base_hashes(base, w)
+            n += batch.num_rows
+        if n == 0:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([pid], type=pa.int32()),
+                pa.array([sk.to_bytes()], type=pa.binary()),
+                pa.array([n], type=pa.int64()),
+            ],
+            schema=arrow_schema,
+        )
+
+    partials = projected.mapInArrow(build, out_schema)
+    merged = sketch_merge(partials, [], [spec], tree_fanin=tree_fanin)
+    row = merged.select("cs_state").head()
+    if row is None:  # empty input → empty sketch, not a crash
+        return spec.make().to_bytes()
+    return bytes(row["cs_state"])
+
+
+def cs_apply_ops_df(
+    ops_df: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+    eps: float = 0.02,
+    delta: float = 0.001,
+    state: bytes | None = None,
+) -> bytes:
+    """Fold an insert/delete ops log into a count-sketch state — the
+    turnstile sibling of ``cuckoo_apply_ops_df`` / ``quotient_apply_ops_df``
+    with none of their ordering constraints: linearity makes the fold
+    ORDER-FREE (any interleaving of inserts and deletes over any
+    partitioning yields bit-identical bytes), and over-deletion is
+    representable (a net-negative key simply estimates negative — loud in
+    a way a membership structure cannot be). Unknown op tags raise.
+    ``state``: optional existing generation to fold on top of."""
+    from probabilistic_rs_spark.errors import SketchConfigError
+
+    tags = [
+        r[op_col]
+        for r in ops_df.select(op_col).distinct().collect()
+    ]
+    bad = [t for t in tags if t not in ("insert", "delete")]
+    if bad:
+        raise SketchConfigError(f"unknown op tags in ops log: {bad!r}")
+    weighted = ops_df.select(
+        F.col(key_col),
+        F.when(F.col(op_col) == "insert", F.lit(1)).otherwise(F.lit(-1)).alias("__w"),
+    )
+    blob = build_cs_state_weighted(weighted, key_col, "__w", eps=eps, delta=delta)
+    if state is None:
+        return blob
+    gen = CountSketch.from_bytes(state)
+    gen.merge_bytes(blob)
+    return gen.to_bytes()
+
+
 def _cs_broadcast(sc, state: bytes):
     import hashlib
 
@@ -121,12 +246,68 @@ def _cs_table_df(spark, state: bytes, cs: CountSketch) -> DataFrame:
                 _CS_TABLE_DF_CACHE.pop(old_key).unpersist()
             except Exception:
                 pass
+        # flat d·w layout: one element_at per read (index j·w + bucket)
         df = spark.createDataFrame(
-            [(cs.table.tolist(),)], "__cs_rows array<array<bigint>>"
+            [(cs.table.ravel().tolist(),)], "__cs_flat array<bigint>"
         ).cache()
         _CS_TABLE_DF_CACHE[key] = df
         lru_evict(_CS_TABLE_DF_CACHE, 8, lambda d: d.unpersist())
     return df
+
+
+def _batcher_pairs(n: int) -> list[tuple[int, int]]:
+    """Comparator schedule of Batcher's odd-even mergesort over ``n``
+    wires (n a power of two) — Batcher 1968; 19 comparators at n=8."""
+    pairs: list[tuple[int, int]] = []
+
+    def merge(lo: int, hi: int, r: int) -> None:
+        step = r * 2
+        if step < hi - lo:
+            merge(lo, hi, step)
+            merge(lo + r, hi, step)
+            for i in range(lo + r, hi - r, step):
+                pairs.append((i, i + r))
+        else:
+            pairs.append((lo, lo + r))
+
+    def sort(lo: int, hi: int) -> None:
+        if hi - lo >= 1:
+            mid = lo + (hi - lo) // 2
+            sort(lo, mid)
+            sort(mid + 1, hi)
+            merge(lo, hi, 1)
+
+    sort(0, n - 1)
+    return pairs
+
+
+def median_expr(reads: list) -> "F.Column":
+    """Exact median of an ODD number of bigint expressions as a
+    least/greatest sorting network (Batcher odd-even mergesort, padded
+    with +inf sentinels), returning the middle wire.
+
+    Why not ``element_at(array_sort(...), m)``: ``ArraySort`` is a
+    CodegenFallback expression — placing it in the per-row path drops the
+    whole operator out of whole-stage codegen into interpreted eval, and
+    the fallback re-evaluates the ENTIRE child tree per row with no
+    subexpression elimination (measured 4.1 s vs 0.35 s for 48k probes ×
+    d=7 at sf0.1 — ~60 µs/row of interpreted xxhash64 re-evaluation; the
+    same class of trap as round 6's map-lookup finding). ``least``/
+    ``greatest`` stay inside codegen, and codegen's subexpression
+    elimination collapses the network's shared wires, so the comparator
+    count (19 at d=7) is the real cost."""
+    d = len(reads)
+    if d == 1:
+        return reads[0]
+    length = 1
+    while length < d:
+        length <<= 1
+    # +inf sentinels sort to the top and never reach the middle wire
+    wires = list(reads) + [F.lit(1 << 62)] * (length - d)
+    for a, b in _batcher_pairs(length):
+        lo, hi = F.least(wires[a], wires[b]), F.greatest(wires[a], wires[b])
+        wires[a], wires[b] = lo, hi
+    return wires[d // 2]
 
 
 def native_cs_probe(
@@ -143,10 +324,11 @@ def native_cs_probe(
     ``sketches/countsketch.py``: bucket chain ``(h1 + j·h2) & (w−1)`` with
     ``j·h2 < 31·2^56``, sign chain ``(h2 + j·(h1≫7)) ≫ 20 & 1`` below
     2^61 — ANSI arithmetic cannot overflow and signed math equals the
-    kernel's uint64 math). The d×w matrix rides a broadcast one-row
-    ``array<array<bigint>>`` relation; the estimate is the MEDIAN of the d
-    signed lookups — d is odd, so ``element_at(array_sort(reads),
-    (d+1)/2)`` is exact — evaluated inside whole-stage codegen. Identical
+    kernel's uint64 math). The d×w matrix rides a broadcast one-row flat
+    ``array<bigint>`` relation (index ``j·w + bucket``); the estimate is
+    the MEDIAN of the d signed lookups, computed by a least/greatest
+    sorting network (:func:`median_expr` — exact for odd d, and unlike
+    ``array_sort`` it stays inside whole-stage codegen). Identical
     estimates to :func:`cs_probe` by construction."""
     from probabilistic_rs_spark.operators.sketch_agg import native_bloom_base_hash_exprs
 
@@ -165,16 +347,18 @@ def native_cs_probe(
             )
         ).bitwiseAND(F.lit(1))
         sign = F.lit(1) - F.lit(2) * sign_bit
-        row = F.element_at(F.col("__cs_rows"), F.lit(int(j) + 1))
-        reads.append(sign * F.element_at(row, bucket.cast("int") + F.lit(1)))
-    if cs.d == 1:
-        est = reads[0]
-    else:
-        est = F.element_at(F.array_sort(F.array(*reads)), F.lit((cs.d + 1) // 2))
+        reads.append(
+            sign
+            * F.element_at(
+                F.col("__cs_flat"),
+                (F.lit(int(j) * cs.w) + bucket).cast("int") + F.lit(1),
+            )
+        )
+    est = median_expr(reads)
     return (
         probe_df.crossJoin(F.broadcast(tdf))
         .withColumn(out_col, est)
-        .drop("__cs_rows")
+        .drop("__cs_flat")
     )
 
 

@@ -176,6 +176,38 @@ class TestSparkPaths:
         )
         assert int(f2_from_state(state)) == int(exact_f2)
 
+    def test_probe_family_parity_in_collision_regime(self, spark, sf_correct):
+        """A deliberately tiny width (eps=0.3 → w=32) over ~150 distinct
+        users forces real collisions: estimates are INEXACT, but the
+        pandas kernel and the codegen probe must still agree on every row
+        — the signed-lookup/median expression is bit-equal to the numpy
+        kernel by construction, and this is the regime where a sign or
+        bucket derivation mismatch would actually show."""
+        from probabilistic_rs_spark.operators.moments import (
+            build_cs_state,
+            cs_probe,
+            native_cs_probe,
+        )
+
+        ev = spark.read.parquet(f"{sf_correct}/events.parquet")
+        state = build_cs_state(ev, "user_id", eps=0.3, delta=0.01)
+        probes = ev.select("user_id").distinct()
+        both = native_cs_probe(
+            cs_probe(probes, "user_id", state, out_col="est_pandas"),
+            "user_id",
+            state,
+            out_col="est_native",
+        ).collect()
+        assert both
+        exact = {
+            r["user_id"]: r["count"]
+            for r in ev.groupBy("user_id").count().collect()
+        }
+        mismatched = [r for r in both if r["est_pandas"] != r["est_native"]]
+        assert not mismatched
+        # and the regime is genuinely inexact (collisions happened)
+        assert any(r["est_pandas"] != exact[r["user_id"]] for r in both)
+
     def test_native_probe_plan_is_broadcast_codegen(self, spark, sf_correct):
         """The native probe plan: broadcast one-row relation, no shuffle
         of the probe side, zero Python evaluation nodes."""
@@ -232,6 +264,83 @@ class TestSparkPaths:
         from probabilistic_rs_spark.operators.sketch_agg import build_global_state
 
         assert folded.to_bytes() == build_global_state(ev, glob, tree_fanin=None)
+
+    def test_weighted_build_equals_row_repetition(self, spark):
+        """Linearity: one weighted row ≡ that many unweighted rows —
+        bit-identical states through the distributed builds."""
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.moments import (
+            build_cs_state,
+            build_cs_state_weighted,
+        )
+
+        keys = [(f"k{i}", (i % 7) + 1) for i in range(200)]
+        wdf = spark.createDataFrame(keys, "key string, w int")
+        rep = wdf.select("key", F.explode(F.sequence(F.lit(1), F.col("w"))).alias("_")).select("key")
+        a = build_cs_state_weighted(wdf, "key", "w", eps=0.05, delta=0.01)
+        b = build_cs_state(rep, "key", eps=0.05, delta=0.01, tree_fanin=None)
+        assert a == b
+
+    def test_turnstile_ops_log_fold(self, spark):
+        """Insert/delete ops fold to the NET multiset bit-identically —
+        the turnstile property the membership families' ops-log folds
+        need generation machinery for; over-deletion estimates negative
+        (loud), and unknown tags raise."""
+        from probabilistic_rs_spark.errors import SketchConfigError
+        from probabilistic_rs_spark.operators.moments import (
+            build_cs_state,
+            cs_apply_ops_df,
+            cs_probe,
+        )
+
+        ops = [("a", "insert")] * 5 + [("a", "delete")] * 2 \
+            + [("b", "insert")] * 3 + [("b", "delete")] * 3 \
+            + [("c", "insert")] * 4 + [("c", "delete")] * 6
+        ops_df = spark.createDataFrame(ops, "key string, op string")
+        state = cs_apply_ops_df(ops_df, "key", eps=0.05, delta=0.01)
+        # net multiset: a×3; b and c net to 0 and −2 — the net build only
+        # sees a (zero/negative keys contribute nothing/negatively)
+        net = spark.createDataFrame([("a",)] * 3, "key string")
+        probes = spark.createDataFrame([("a",), ("b",), ("c",)], "key string")
+        est = {
+            r["key"]: r["est_count"]
+            for r in cs_probe(probes, "key", state).collect()
+        }
+        assert est == {"a": 3, "b": 0, "c": -2}
+        # second generation folds on top, order-free
+        gen2 = cs_apply_ops_df(
+            spark.createDataFrame([("c", "insert")] * 2, "key string, op string"),
+            "key",
+            eps=0.05,
+            delta=0.01,
+            state=state,
+        )
+        est2 = {
+            r["key"]: r["est_count"]
+            for r in cs_probe(probes, "key", gen2).collect()
+        }
+        assert est2 == {"a": 3, "b": 0, "c": 0}
+        with pytest.raises(SketchConfigError):
+            cs_apply_ops_df(
+                spark.createDataFrame([("x", "upsert")], "key string, op string"),
+                "key",
+            )
+        # the fold's TABLE equals the net build's table cell-for-cell
+        # (n_total legitimately differs: gross absorbed weight vs net)
+        from probabilistic_rs_spark.sketches.countsketch import CountSketch
+
+        net_cs = CountSketch.from_bytes(
+            build_cs_state(net, "key", eps=0.05, delta=0.01, tree_fanin=None)
+        )
+        ops_cs = CountSketch.from_bytes(state)
+        # b nets to 0 exactly; c's −2 lives in cells the net build never
+        # touched — remove c's contribution before comparing
+        neg_c = CountSketch(eps=0.05, delta=0.01)
+        neg_c.update_base_hashes(
+            _spark_base_hashes(spark, ["c"]), np.array([-2], dtype=np.int64)
+        )
+        assert np.array_equal(ops_cs.table - neg_c.table, net_cs.table)
 
     def test_streaming_windowed_cs(self, spark, tmp_path):
         """Kind 'cs' through the streaming expiring operator: per-window
