@@ -362,6 +362,104 @@ def native_cs_probe(
     )
 
 
+def join_skew_advisor(
+    df: DataFrame,
+    key_col: str,
+    eps: float = 0.02,
+    delta: float = 0.001,
+    theta_k: int = 16384,
+    mg_k: int = 2048,
+    top: int = 10,
+    broadcast_threshold_rows: int = 1_000_000,
+    skew_ratio_threshold: float = 16.0,
+    tree_fanin: int | str | None = "auto",
+) -> dict:
+    """ONE-SCAN join-plan report for a candidate join key — the question
+    a 100 TB pipeline asks before committing a shuffle join. Composes
+    three families in a single pass through the generic multi-spec
+    pipeline (one ``mapInArrow`` build, one state-sized shuffle — the
+    flagship query's one-scan contract applied to planning):
+
+    * theta/KMV → ``n_distinct`` (exact below ``theta_k``),
+    * count sketch → ``f2`` = self-join size = expected output rows of a
+      self-equi-join on the key,
+    * Misra–Gries → the actual hottest keys with estimate + certificate.
+
+    Derived statistics:
+
+    * ``avg_freq = n / n_distinct`` — mean rows per key;
+    * ``skew_ratio = f2 / (n · avg_freq) = f2 · n_distinct / n²`` — the
+      ratio of the key's second moment to a perfectly uniform key's
+      (1.0 = uniform, ≫1 = a few keys dominate; equals the factor by
+      which the biggest reducer outweighs the average in the worst case);
+    * ``top_keys`` — the MG retained top keys with est counts + shares.
+
+    ``recommendation``: ``broadcast`` when the distinct-key side is small
+    enough to broadcast (``n_distinct ≤ broadcast_threshold_rows``),
+    else ``salt`` when ``skew_ratio > skew_ratio_threshold`` (salt the
+    listed hot keys, or rely on AQE skew-join with these stats as
+    evidence), else ``shuffle``. Thresholds are caller-tunable; the
+    numbers travel in the report so the decision is auditable."""
+    from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+    from probabilistic_rs_spark.sketches.mg import MisraGries
+    from probabilistic_rs_spark.sketches.theta import ThetaSketch
+
+    specs = [
+        SketchSpec("adv_theta", "theta", key_col, {"k": theta_k}),
+        SketchSpec("adv_cs", "cs", key_col, {"eps": eps, "delta": delta}),
+        SketchSpec("adv_mg", "mg", key_col, {"k": mg_k}),
+    ]
+    from probabilistic_rs_spark.operators.sketch_agg import resolve_tree_fanin
+
+    merged = sketch_aggregate(
+        df, [], specs, tree_fanin=resolve_tree_fanin(df, tree_fanin)
+    )
+    row = merged.head()
+    if row is None:
+        return {
+            "n": 0, "n_distinct": 0.0, "f2": 0.0, "avg_freq": 0.0,
+            "skew_ratio": 0.0, "top_keys": [], "recommendation": "broadcast",
+        }
+    n = int(row["n_updates"])
+    th = ThetaSketch.from_bytes(bytes(row["adv_theta_state"]))
+    cs = CountSketch.from_bytes(bytes(row["adv_cs_state"]))
+    mg = MisraGries.from_bytes(bytes(row["adv_mg_state"]))
+    n_distinct = th.estimate()
+    f2 = cs.f2_estimate()
+    avg_freq = n / n_distinct if n_distinct else 0.0
+    skew_ratio = (f2 * n_distinct) / (n * n) if n else 0.0
+    d_bound = mg.max_undercount()
+    top_keys = [
+        {
+            "key": k.decode("utf-8", "replace"),
+            "est_count": int(c),
+            "max_undercount": float(d_bound),
+            "share": c / n if n else 0.0,
+        }
+        for k, c in mg.top()[: int(top)]
+    ]
+    if n_distinct and n_distinct <= broadcast_threshold_rows:
+        rec = "broadcast"
+    elif skew_ratio > skew_ratio_threshold:
+        rec = "salt"
+    else:
+        rec = "shuffle"
+    return {
+        "n": n,
+        "n_distinct": n_distinct,
+        "f2": f2,
+        "avg_freq": avg_freq,
+        "skew_ratio": skew_ratio,
+        "top_keys": top_keys,
+        "recommendation": rec,
+        "estimator_modes": {
+            "theta_exact": th.is_exact,
+            "cs_point_error_bound": cs.point_error_bound(),
+            "mg_max_undercount": float(d_bound),
+        },
+    }
+
+
 def f2_from_state(state: bytes) -> float:
     """AMS second-moment / self-join-size estimate from a built state
     (driver-side, O(d·w)): ``F2 = Σ_x count(x)²`` within ``ε'·F2``

@@ -342,6 +342,59 @@ class TestSparkPaths:
         )
         assert np.array_equal(ops_cs.table - neg_c.table, net_cs.table)
 
+    def test_join_skew_advisor_exact_regime(self, spark, sf_correct):
+        """One-scan advisor report: every statistic exact at this
+        cardinality (theta/CS/MG all below their sampling/compaction
+        thresholds) and equal to the ground truth computed the expensive
+        way; the recommendation branches respond to the thresholds."""
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.moments import join_skew_advisor
+
+        ev = spark.read.parquet(f"{sf_correct}/events.parquet")
+        rep = join_skew_advisor(ev, "user_id")
+        counts = ev.groupBy("user_id").count()
+        truth = counts.select(
+            F.count("*").alias("nd"),
+            F.sum("count").alias("n"),
+            F.sum(F.col("count") * F.col("count")).alias("f2"),
+        ).collect()[0]
+        assert rep["n"] == truth["n"]
+        assert int(rep["n_distinct"]) == truth["nd"]
+        assert int(rep["f2"]) == truth["f2"]
+        assert rep["estimator_modes"]["theta_exact"]
+        assert rep["estimator_modes"]["mg_max_undercount"] == 0.0
+        # top keys carry exact counts, and their count multiset is the
+        # true 10 largest (key order under ties may differ)
+        all_counts = {
+            str(r["user_id"]): r["count"] for r in counts.collect()
+        }
+        for t in rep["top_keys"]:
+            assert t["est_count"] == all_counts[t["key"]]
+        assert sorted((t["est_count"] for t in rep["top_keys"]), reverse=True) == sorted(
+            all_counts.values(), reverse=True
+        )[:10]
+        # small distinct side → broadcast; force the other branches
+        assert rep["recommendation"] == "broadcast"
+        salted = join_skew_advisor(
+            ev, "user_id", broadcast_threshold_rows=10, skew_ratio_threshold=0.5
+        )
+        assert salted["recommendation"] == "salt"  # uniform-ish ratio > 0.5
+        shuffled = join_skew_advisor(
+            ev, "user_id", broadcast_threshold_rows=10, skew_ratio_threshold=1e9
+        )
+        assert shuffled["recommendation"] == "shuffle"
+        # a genuinely hot key moves the ratio: 50% of rows on one key
+        hot = ev.select(
+            F.when(F.rand(7) > 0.5, F.lit("HOT")).otherwise(
+                F.col("user_id").cast("string")
+            ).alias("k")
+        )
+        hot_rep = join_skew_advisor(hot, "k", broadcast_threshold_rows=10)
+        assert hot_rep["skew_ratio"] > rep["skew_ratio"] * 5
+        assert hot_rep["top_keys"][0]["key"] == "HOT"
+        assert hot_rep["recommendation"] == "salt"
+
     def test_streaming_windowed_cs(self, spark, tmp_path):
         """Kind 'cs' through the streaming expiring operator: per-window
         states match batch-built states bit-for-bit (the hash2 projection
