@@ -94,11 +94,20 @@ class CuckooFilter:
         self.capacity = int(capacity)
         self.fingerprint_bits = int(fingerprint_bits)
         self.bucket_size = int(bucket_size)
-        # 95% max load (paper table 2 for b=4); next power of two buckets
-        need = max(1, int(np.ceil(capacity / (bucket_size * 0.95))))
-        self.m = 1 << (need - 1).bit_length()
+        self.m = self._derive_m(capacity, bucket_size)
         self.table = np.zeros((self.m, bucket_size), dtype=U32)
         self.n_items = 0
+
+    @staticmethod
+    def _derive_m(capacity: int, bucket_size: int) -> int:
+        """Bucket count for a capacity — 95% max load (paper table 2 for
+        b=4), next power of two. Pure arithmetic (no allocation) so
+        deserializers can validate a claimed geometry BEFORE building the
+        table: a corrupt capacity field must not become a huge
+        ``np.zeros`` (found by the wire-fuzz sweep — a single flipped
+        byte requested an 8 TiB table)."""
+        need = max(1, int(np.ceil(capacity / (bucket_size * 0.95))))
+        return 1 << (need - 1).bit_length()
 
     # -- hashing ---------------------------------------------------------------
 
@@ -309,9 +318,15 @@ class CuckooFilter:
     def from_bytes(cls, data: bytes) -> "CuckooFilter":
         version, off = unpack_header(data, cls._TYPE)
         capacity, fbits, bsize, m, n_items = unpack_meta(_META, data, off)
-        sk = cls(capacity=capacity, fingerprint_bits=fbits, bucket_size=bsize)
-        if sk.m != m:
+        # geometry sanity BEFORE any allocation: a corrupt capacity/m pair
+        # must fail loudly, not attempt a table of the corrupt size
+        if capacity <= 0 or bsize not in (2, 4, 8):
+            raise SketchStateError(
+                f"corrupt cuckoo meta: capacity={capacity}, bucket_size={bsize}"
+            )
+        if cls._derive_m(capacity, bsize) != m:
             raise SketchStateError("cuckoo derived geometry mismatch on deserialize")
+        sk = cls(capacity=capacity, fingerprint_bits=fbits, bucket_size=bsize)
         body = off + _META.size
         if version == 2:
             rest = len(data) - body

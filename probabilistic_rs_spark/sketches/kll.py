@@ -183,8 +183,20 @@ class KLLSketch:
         _, off = unpack_header(data, TYPE_KLL)
         k, n, counter, n_levels = unpack_meta(_META, data, off)
         off += _META.size
+        # level-count / length-table sanity BEFORE any unpack: a corrupt
+        # count must become a typed error, not a raw struct.error or a
+        # negative-count frombuffer (wire-fuzz sweep finding)
+        if not (0 <= n_levels <= 64):
+            raise SketchStateError(f"corrupt KLL level count: {n_levels}")
+        if len(data) < off + 8 * n_levels:
+            raise SketchStateError("KLL state truncated in level-length table")
         lens = struct.unpack_from(f"<{n_levels}q", data, off)
         off += 8 * n_levels
+        need = off + 8 * sum(lens)
+        if any(ln < 0 for ln in lens) or len(data) < need:
+            raise SketchStateError(
+                f"KLL state truncated: need {need} bytes, have {len(data)}"
+            )
         sk = cls(k=k)
         sk.n = n
         sk.compact_counter = counter
