@@ -361,6 +361,34 @@ class TestBoundInvarianceFamilies:
             assert lo / n - 0.05 - 2.0 / n <= q <= hi / n + 0.05 + 2.0 / n
 
 
+class TestBatcherMedianNetwork:
+    @given(
+        vals=st.lists(st.integers(-(10**12), 10**12), min_size=1, max_size=31),
+        key=seed_strategy,
+    )
+    @settings(**_SETTINGS)
+    def test_network_median_equals_true_median_for_odd_d(self, vals, key):
+        """The least/greatest comparator schedule behind
+        ``operators.moments.median_expr`` (Batcher odd-even mergesort,
+        +inf sentinel padding to a power of two, middle wire) computes
+        the EXACT median for every odd input size 1..31 — simulated here
+        wire-for-wire in pure python so the generative gate covers every
+        d the config admits, including duplicate and extreme values."""
+        from probabilistic_rs_spark.operators.moments import _batcher_pairs
+
+        if len(vals) % 2 == 0:
+            vals = vals[:-1]  # median_expr is defined for odd d
+        d = len(vals)
+        length = 1
+        while length < d:
+            length <<= 1
+        wires = list(vals) + [1 << 62] * (length - d)
+        for a, b in _batcher_pairs(length) if length > 1 else []:
+            lo, hi = min(wires[a], wires[b]), max(wires[a], wires[b])
+            wires[a], wires[b] = lo, hi
+        assert wires[d // 2] == sorted(vals)[d // 2]
+
+
 class TestNativeBloomProperty:
     @given(
         pairs=st.lists(
