@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType
 
+from probabilistic_rs_spark.errors import SketchConfigError
 from probabilistic_rs_spark.sketches.countsketch import CountSketch
 
 # driver-side broadcast reuse + executor-side deserialized-state cache —
@@ -122,7 +123,14 @@ def build_cs_state_weighted(
                 ],
                 axis=1,
             ).astype(np.int64, copy=False)
-            w = batch.column("__w").to_numpy(zero_copy_only=False).astype(np.int64)
+            w = batch.column("__w").to_numpy(zero_copy_only=False)
+            # a null weight arrives as NaN; silently casting would inject
+            # INT64_MIN into the table — fail loudly instead
+            if w.dtype.kind == "f" and np.isnan(w).any():
+                raise SketchConfigError(
+                    "null weight in weighted count-sketch build"
+                )
+            w = w.astype(np.int64)
             sk.update_base_hashes(base, w)
             n += batch.num_rows
         if n == 0:
@@ -160,18 +168,21 @@ def cs_apply_ops_df(
     representable (a net-negative key simply estimates negative — loud in
     a way a membership structure cannot be). Unknown op tags raise.
     ``state``: optional existing generation to fold on top of."""
-    from probabilistic_rs_spark.errors import SketchConfigError
-
-    tags = [
-        r[op_col]
-        for r in ops_df.select(op_col).distinct().collect()
-    ]
-    bad = [t for t in tags if t not in ("insert", "delete")]
-    if bad:
-        raise SketchConfigError(f"unknown op tags in ops log: {bad!r}")
+    # op-tag validation is TASK-SIDE, inside the build scan itself (the
+    # house idiom — common.op_masks in the cogrouped folds): a driver-side
+    # distinct() would cost a full extra shuffle of the ops log just to
+    # validate. raise_error fires on the first unknown tag in any task.
+    op = F.col(op_col)
     weighted = ops_df.select(
         F.col(key_col),
-        F.when(F.col(op_col) == "insert", F.lit(1)).otherwise(F.lit(-1)).alias("__w"),
+        F.when(op == "insert", F.lit(1))
+        .when(op == "delete", F.lit(-1))
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("unknown op tag in ops log: "), op.cast("string"))
+            ).cast("int")
+        )
+        .alias("__w"),
     )
     blob = build_cs_state_weighted(weighted, key_col, "__w", eps=eps, delta=delta)
     if state is None:

@@ -287,7 +287,6 @@ class TestSparkPaths:
         the turnstile property the membership families' ops-log folds
         need generation machinery for; over-deletion estimates negative
         (loud), and unknown tags raise."""
-        from probabilistic_rs_spark.errors import SketchConfigError
         from probabilistic_rs_spark.operators.moments import (
             build_cs_state,
             cs_apply_ops_df,
@@ -321,7 +320,9 @@ class TestSparkPaths:
             for r in cs_probe(probes, "key", gen2).collect()
         }
         assert est2 == {"a": 3, "b": 0, "c": 0}
-        with pytest.raises(SketchConfigError):
+        # unknown tags raise TASK-SIDE via raise_error (no extra distinct
+        # scan of the ops log) — surfaces as a Spark runtime error
+        with pytest.raises(Exception, match="unknown op tag"):
             cs_apply_ops_df(
                 spark.createDataFrame([("x", "upsert")], "key string, op string"),
                 "key",
@@ -341,6 +342,17 @@ class TestSparkPaths:
             _spark_base_hashes(spark, ["c"]), np.array([-2], dtype=np.int64)
         )
         assert np.array_equal(ops_cs.table - neg_c.table, net_cs.table)
+
+    def test_weighted_build_null_weight_raises(self, spark):
+        """A null weight must fail loudly: the silent path would cast
+        NaN → INT64_MIN into the table."""
+        from probabilistic_rs_spark.operators.moments import build_cs_state_weighted
+
+        df = spark.createDataFrame(
+            [("a", 1), ("b", None)], "key string, w int"
+        )
+        with pytest.raises(Exception, match="null weight"):
+            build_cs_state_weighted(df, "key", "w", eps=0.1, delta=0.05)
 
     def test_join_skew_advisor_exact_regime(self, spark, sf_correct):
         """One-scan advisor report: every statistic exact at this
