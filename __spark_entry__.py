@@ -740,7 +740,8 @@ def _q_cs_moments_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     planner reads before committing a 100 TB shuffle join. One state,
     built in one scan through the generic partial/merge pipeline; probed
     by BOTH families (broadcast pandas kernel AND the zero-Python codegen
-    probe: median of d signed lookups via array_sort — the signed member
+    probe: median of d signed lookups via a least/greatest Batcher
+    network, array_sort being a CodegenFallback — the signed member
     of the native-probe family); ``f2`` read off the same state. The
     event_type cardinality ≪ w here, so every estimate is exact and the
     exact GROUP BY / SUM(c²) oracle hash-matches (estimate-regime bounds

@@ -411,7 +411,11 @@ def join_skew_advisor(
     listed hot keys, or rely on AQE skew-join with these stats as
     evidence), else ``shuffle``. Thresholds are caller-tunable; the
     numbers travel in the report so the decision is auditable."""
-    from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+    from probabilistic_rs_spark.operators.sketch_agg import (
+        SketchSpec,
+        resolve_tree_fanin,
+        sketch_aggregate,
+    )
     from probabilistic_rs_spark.sketches.mg import MisraGries
     from probabilistic_rs_spark.sketches.theta import ThetaSketch
 
@@ -420,8 +424,6 @@ def join_skew_advisor(
         SketchSpec("adv_cs", "cs", key_col, {"eps": eps, "delta": delta}),
         SketchSpec("adv_mg", "mg", key_col, {"k": mg_k}),
     ]
-    from probabilistic_rs_spark.operators.sketch_agg import resolve_tree_fanin
-
     merged = sketch_aggregate(
         df, [], specs, tree_fanin=resolve_tree_fanin(df, tree_fanin)
     )
