@@ -139,7 +139,9 @@ class TestBitEqualityFamilies:
             st.tuples(
                 st.integers(0, (1 << 62) - 1),
                 st.integers(0, (1 << 56) - 1),
-                st.integers(1, 1000),
+                # negative counts = the TURNSTILE domain (deletions):
+                # linearity must hold over the full signed-weight space
+                st.integers(-1000, 1000),
             ),
             max_size=200,
         ),
@@ -151,7 +153,8 @@ class TestBitEqualityFamilies:
         state is a pure function of the absorbed weighted multiset: any
         partitioning and merge tree reproduces the one-shot bytes —
         including the adaptive dense/sparse wire choice, which depends
-        only on the merged matrix."""
+        only on the merged matrix, and including NEGATIVE weights (the
+        turnstile model: inserts and deletes in any interleaving)."""
         from probabilistic_rs_spark.sketches.countsketch import CountSketch
 
         def absorb(sk, ps):
