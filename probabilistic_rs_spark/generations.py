@@ -30,6 +30,12 @@ state bytes (asserted in ``tests/test_generations.py``).
 
 Scale shape: state bytes move executor→parquet→executor, never through
 the driver; each fold shuffles only the ops (8-byte hash + tag per op).
+
+Round 7 adds the ``cs`` family (count sketch, ``operators/moments.py``):
+the TURNSTILE member of the chain — deletion is native (negative
+weights) so the fold needs no shard routing or tombstones, the states
+table is one mergeable blob row, and ``probe`` returns the unbiased net
+count instead of a boolean.
 """
 
 from __future__ import annotations
@@ -43,7 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from probabilistic_rs_spark.errors import SketchConfigError
 
-_FAMILIES = ("cuckoo", "quotient")
+_FAMILIES = ("cuckoo", "quotient", "cs")
 
 
 class GenerationLog:
@@ -171,7 +177,28 @@ class GenerationLog:
             )
         prev = self.states_df(spark, last) if last else None
         t0 = time.perf_counter()
-        if self.family == "cuckoo":
+        if self.family == "cs":
+            from probabilistic_rs_spark.operators.moments import cs_apply_ops_df
+
+            # the count sketch is a single mergeable blob, not a shard
+            # table: the generation states table is ONE row (state
+            # binary, n_total). Linearity makes the fold order-free and
+            # idempotent-by-rerun like the membership families.
+            prev_state = (
+                bytes(prev.select("cs_state").head()["cs_state"])
+                if prev is not None
+                else None
+            )
+            blob = cs_apply_ops_df(
+                ops_df, self.item_col, op_col=op_col, state=prev_state, **self.params
+            )
+            from probabilistic_rs_spark.sketches.countsketch import CountSketch
+
+            n_total = CountSketch.from_bytes(blob).n_total
+            folded = spark.createDataFrame(
+                [(blob, int(n_total))], "cs_state binary, n_total long"
+            )
+        elif self.family == "cuckoo":
             from probabilistic_rs_spark.operators.cuckoo import cuckoo_apply_ops_df
 
             # capacity/fingerprint geometry applies to every fold (new
@@ -208,13 +235,20 @@ class GenerationLog:
             shutil.rmtree(final)  # crashed earlier attempt — overwrite
         os.rename(tmp, final)
         states = spark.read.parquet(final)
-        row = states.selectExpr(
-            "max(n_shards) AS ns", "sum(n_items) AS ni", "count(*) AS nsh"
-        ).head()
+        if self.family == "cs":
+            row = states.selectExpr(
+                "max(n_total) AS ni", "count(*) AS nsh"
+            ).head()
+            ns = 1
+        else:
+            row = states.selectExpr(
+                "max(n_shards) AS ns", "sum(n_items) AS ni", "count(*) AS nsh"
+            ).head()
+            ns = int(row["ns"]) if row["ns"] is not None else 0
         rec = {
             "gen": gen,
             "n_ops": int(n_ops),
-            "n_shards": int(row["ns"]) if row["ns"] is not None else 0,
+            "n_shards": ns,
             "n_items": int(row["ni"]) if row["ni"] is not None else 0,
             "shard_rows": int(row["nsh"]),
             "wall_s": round(time.perf_counter() - t0, 3),
@@ -238,13 +272,24 @@ class GenerationLog:
         gen: int | None = None,
         out_col: str = "is_member",
     ) -> DataFrame:
-        """Partitioned membership probe against a durable generation."""
+        """Partitioned membership probe against a durable generation.
+
+        Family ``cs`` returns the UNBIASED net-count estimate instead of
+        a boolean (the turnstile family's membership notion is the net
+        count itself; pass ``out_col="est_count"`` for clarity)."""
         spark = probe_df.sparkSession
         states = self.states_df(spark, gen)
         if states is None:
             from pyspark.sql import functions as F
 
+            if self.family == "cs":
+                return probe_df.withColumn(out_col, F.lit(0).cast("long"))
             return probe_df.withColumn(out_col, F.lit(False))
+        if self.family == "cs":
+            from probabilistic_rs_spark.operators.moments import cs_probe
+
+            blob = bytes(states.select("cs_state").head()["cs_state"])
+            return cs_probe(probe_df, item_col, blob, out_col=out_col)
         if self.family == "cuckoo":
             from probabilistic_rs_spark.operators.cuckoo import (
                 cuckoo_partitioned_probe,

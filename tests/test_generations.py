@@ -230,3 +230,64 @@ class TestStreamingOpsFeed:
         # a batch id that would skip a generation fails loudly
         with pytest.raises(SketchConfigError, match="in order"):
             sink(_ops(spark, 0, 10, "insert"), 5)
+
+
+def test_cs_turnstile_generation_chain(spark, tmp_path):
+    """Round 7: the count-sketch family through the durable layer — the
+    TURNSTILE member: deletes are native (no shard routing), the states
+    table is one blob row, kill/resume is bit-identical, and the probe
+    returns net counts (negative after over-delete — representable where
+    a membership family can only go false)."""
+    # exact regime: 800 distinct keys ≪ w = 8192 (eps=0.02) so every net
+    # count is exact and the asserts below are deterministic facts
+    params = {"eps": 0.02, "delta": 0.01}
+    gens = [(1, "insert", (0, 500)), (2, "insert", (500, 800)), (3, "delete", (0, 200))]
+
+    def feed(g):
+        _, op, (lo, hi) = gens[g - 1]
+        return _ops(spark, lo, hi, op)
+
+    d_ref = str(tmp_path / "cs-ref")
+    ref = GenerationLog.create(d_ref, "cs", "key", **params)
+    for g in (1, 2, 3):
+        ref.apply_generation(spark, feed(g), g)
+
+    d = str(tmp_path / "cs-resumed")
+    log = GenerationLog.create(d, "cs", "key", **params)
+    log.apply_generation(spark, feed(1), 1)
+    log.apply_generation(spark, feed(2), 2)
+    del log
+    resumed = GenerationLog.load(d)
+    assert resumed.last_generation() == 2
+    resumed.apply_generation(spark, feed(2), 2)  # idempotent skip
+    resumed.apply_generation(spark, feed(3), 3)
+
+    def blob(log_, g):
+        return bytes(log_.states_df(spark, g).head()["cs_state"])
+
+    for g in (1, 2, 3):
+        assert blob(resumed, g) == blob(ref, g), g
+
+    # net counts through the durable probe: 0..199 purged (1 - 1 = 0),
+    # 200..799 present once
+    probes = spark.range(800).select(
+        F.concat(F.lit("g"), F.col("id")).alias("key")
+    )
+    got = resumed.probe(probes, "key", out_col="est_count")
+    counts = {r["key"]: r["est_count"] for r in got.collect()}
+    assert all(counts[f"g{i}"] == 0 for i in range(0, 200))
+    assert all(counts[f"g{i}"] == 1 for i in range(200, 800))
+    # over-delete generation: counts go NEGATIVE, loudly representable
+    resumed.apply_generation(spark, _ops(spark, 0, 100, "delete"), 4)
+    neg = resumed.probe(
+        spark.range(100).select(F.concat(F.lit("g"), F.col("id")).alias("key")),
+        "key",
+        out_col="est_count",
+    )
+    assert all(r["est_count"] == -1 for r in neg.collect())
+    m = resumed.metrics()
+    assert m["generations"] == 4
+    # empty-log probe path returns a zero count column
+    empty = GenerationLog.create(str(tmp_path / "cs-empty"), "cs", "key", **params)
+    z = empty.probe(probes.limit(5), "key", out_col="est_count")
+    assert [r["est_count"] for r in z.collect()] == [0] * 5
