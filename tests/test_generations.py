@@ -232,6 +232,28 @@ class TestStreamingOpsFeed:
             sink(_ops(spark, 0, 10, "insert"), 5)
 
 
+def test_cs_ops_feed_sink_chain(spark, tmp_path):
+    """The streaming ops-feed composes with the cs family unchanged
+    (family-agnostic sink): micro-batch folds chain to the same blob as
+    the batch API, and a crash-replayed batch id is a no-op."""
+    from probabilistic_rs_spark.streaming.ops_feed import generation_ops_sink
+
+    params = {"eps": 0.02, "delta": 0.01}
+    log = GenerationLog.create(str(tmp_path / "cs-feed"), "cs", "key", **params)
+    sink = generation_ops_sink(log)
+    sink(_ops(spark, 0, 500, "insert"), 0)
+    sink(_ops(spark, 0, 200, "delete"), 1)
+    assert log.last_generation() == 2
+    blob = bytes(log.states_df(spark, 2).head()["cs_state"])
+    sink(_ops(spark, 0, 500, "insert"), 0)  # replay → skipped
+    assert bytes(log.states_df(spark, 2).head()["cs_state"]) == blob
+
+    ref = GenerationLog.create(str(tmp_path / "cs-feed-ref"), "cs", "key", **params)
+    ref.apply_generation(spark, _ops(spark, 0, 500, "insert"), 1)
+    ref.apply_generation(spark, _ops(spark, 0, 200, "delete"), 2)
+    assert bytes(ref.states_df(spark, 2).head()["cs_state"]) == blob
+
+
 def test_cs_turnstile_generation_chain(spark, tmp_path):
     """Round 7: the count-sketch family through the durable layer — the
     TURNSTILE member: deletes are native (no shard routing), the states
