@@ -746,9 +746,14 @@ def _q_cs_moments_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_type cardinality ≪ w here, so every estimate is exact and the
     exact GROUP BY / SUM(c²) oracle hash-matches (estimate-regime bounds
     are gated in tests/test_countsketch.py and the bit-equality merge
-    algebra generatively in tests/test_properties.py)."""
+    algebra generatively in tests/test_properties.py). ``est_net``
+    additionally gates the TURNSTILE fold (``cs_apply_ops_df`` — the
+    linear family's native deletion): every event inserted, every
+    'click' row then deleted — linearity must zero the click key exactly
+    and leave every other key's net count untouched (CASE oracle)."""
     from probabilistic_rs_spark.operators.moments import (
         build_cs_state,
+        cs_apply_ops_df,
         cs_probe,
         f2_from_state,
         native_cs_probe,
@@ -763,10 +768,18 @@ def _q_cs_moments_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         state,
         out_col="est_native",
     )
-    return both.select(
+    ops = ev.select("event_type", F.lit("insert").alias("op")).unionAll(
+        ev.where(F.col("event_type") == "click").select(
+            "event_type", F.lit("delete").alias("op")
+        )
+    )
+    net_state = cs_apply_ops_df(ops, "event_type", eps=0.02, delta=0.001)
+    net = cs_probe(probes, "event_type", net_state, out_col="est_net")
+    return both.join(net, "event_type").select(
         F.col("event_type").alias("key"),
         "est_pandas",
         "est_native",
+        "est_net",
         F.lit(int(f2_from_state(state))).alias("f2"),
     )
 
@@ -1595,6 +1608,7 @@ def oracle_sql() -> dict[str, str]:
             "WITH c AS (SELECT event_type AS key, count(*)::BIGINT AS cnt "
             "FROM events GROUP BY event_type) "
             "SELECT key, cnt AS est_pandas, cnt AS est_native, "
+            "CASE WHEN key = 'click' THEN 0 ELSE cnt END::BIGINT AS est_net, "
             "(SELECT CAST(SUM(cnt * cnt) AS BIGINT) FROM c) AS f2 FROM c"
         ),
         "mg_top_suppliers": (
