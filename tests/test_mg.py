@@ -216,3 +216,58 @@ class TestSparkOperators:
         for key, t in exact.items():
             if t > d:
                 assert key in emitted
+
+
+class TestStreamingWindowedMG:
+    def test_per_window_topk_states_match_batch(self, spark, tmp_path):
+        """Streaming windowed MG — per-event-time-window heavy hitters
+        with certificates. The 'bytes' value kind flows through the
+        generic streaming projection (UTF-8 items) and the stateful
+        kernel's update_padded, so each emitted window state must be a
+        valid MG summary whose retained counts equal the batch truth in
+        the no-compaction regime."""
+        import pandas as pd
+
+        from probabilistic_rs_spark.operators.sketch_agg import SketchSpec
+        from probabilistic_rs_spark.sketches.mg import MisraGries
+        from probabilistic_rs_spark.streaming.expiring import streaming_windowed_sketch
+
+        src = tmp_path / "src"
+        src.mkdir()
+        rows = []
+        for i, (ts, item) in enumerate(
+            [("2024-01-01 00:05", "a"), ("2024-01-01 00:10", "a"),
+             ("2024-01-01 00:20", "b"), ("2024-01-01 01:15", "c"),
+             ("2024-01-01 01:40", "c"), ("2024-01-01 01:55", "c")]
+        ):
+            rows.append({"ts": pd.Timestamp(ts), "item": item})
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.parquet(
+            str(src / "b0")
+        )
+        stream = (
+            spark.readStream.schema("ts timestamp, item string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        out = streaming_windowed_sketch(
+            stream, "ts", "item",
+            SketchSpec("hh", "mg", "item", {"k": 16}),
+            level_duration="1 hour", watermark_delay="0 seconds",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("mg_stream_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT * FROM mg_stream_test WHERE NOT expired ORDER BY window_start"
+        ).collect()
+        assert len(got) == 2
+        w0 = MisraGries.from_bytes(bytes(got[0]["state"]))
+        w1 = MisraGries.from_bytes(bytes(got[1]["state"]))
+        assert w0.is_exact and w1.is_exact  # k=16 > cardinality: exact
+        assert dict(w0.top()) == {b"a": 2, b"b": 1}
+        assert dict(w1.top()) == {b"c": 3}
