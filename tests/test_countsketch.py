@@ -265,6 +265,25 @@ class TestSparkPaths:
 
         assert folded.to_bytes() == build_global_state(ev, glob, tree_fanin=None)
 
+    def test_rollup_reaggregate_bit_identical(self, spark, sf_smoke):
+        """Per-group CS states re-aggregated to the global grouping
+        through the rollup operator (states only, no input rescan) are
+        BIT-IDENTICAL to a direct global build — linearity through the
+        whole distributed algebra."""
+        from probabilistic_rs_spark.operators.rollup import reaggregate_states
+        from probabilistic_rs_spark.operators.sketch_agg import (
+            SketchSpec,
+            build_global_state,
+            sketch_aggregate,
+        )
+
+        ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+        spec = SketchSpec("cs", "cs", "user_id", {"eps": 0.05, "delta": 0.01})
+        per_type = sketch_aggregate(ev, ["event_type"], [spec])
+        rolled = reaggregate_states(per_type, ["event_type"], [], [spec])
+        blob = bytes(rolled.select("cs_state").head()["cs_state"])
+        assert blob == build_global_state(ev, spec, tree_fanin=None)
+
     def test_weighted_build_equals_row_repetition(self, spark):
         """Linearity: one weighted row ≡ that many unweighted rows —
         bit-identical states through the distributed builds."""
