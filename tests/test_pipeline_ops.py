@@ -779,3 +779,46 @@ class TestNorthstarJob:
         recs2 = {fn: os.path.getmtime(os.path.join(ldir, fn))
                  for fn in os.listdir(ldir) if fn.endswith(".json")}
         assert recs2 == recs1
+
+
+class TestSkewReportJob:
+    """The spark-submit skew-report entry (jobs/skew_report.py) driven as
+    a REAL subprocess: one scan composing theta + count sketch + MG into
+    the auditable join-plan report (round 7)."""
+
+    def test_script_writes_report(self, spark, tmp_path):
+        import json
+        import os
+        import subprocess
+        import sys
+
+        from probabilistic_rs_spark.datagen import pages_df
+
+        src = str(tmp_path / "pages")
+        pages_df(spark, 2000, partitions=4).write.parquet(src)
+        report_path = str(tmp_path / "report.json")
+        cmd = [
+            sys.executable, "probabilistic_rs_spark/jobs/skew_report.py",
+            "--input", src, "--key", "host", "--derive-host-from", "url",
+            "--output", report_path,
+        ]
+        env = dict(os.environ, SPARK_LOCAL_IP="127.0.0.1")
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=900,
+            cwd="/root/repo", env=env,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        line = json.loads(r.stdout.strip().splitlines()[-1])
+        assert line["recommendation"] in ("broadcast", "salt", "shuffle")
+        with open(report_path) as f:
+            rep = json.load(f)
+        assert rep["n"] == 2000
+        assert 0 < rep["n_distinct"] <= 2000
+        assert rep["f2"] >= rep["n"]  # F2 >= N always (counts >= 1)
+        assert rep["skew_ratio"] >= 1.0 - 1e-6
+        assert rep["top_keys"] and all(
+            t["est_count"] >= 1 for t in rep["top_keys"]
+        )
+        assert rep["recommendation"] == line["recommendation"]
+        # atomic write: no .tmp remnant
+        assert not os.path.exists(report_path + ".tmp")
