@@ -35,7 +35,11 @@ Round 7 adds the ``cs`` family (count sketch, ``operators/moments.py``):
 the TURNSTILE member of the chain — deletion is native (negative
 weights) so the fold needs no shard routing or tombstones, the states
 table is one mergeable blob row, and ``probe`` returns the unbiased net
-count instead of a boolean.
+count instead of a boolean. One deliberate exception to the
+"never through the driver" rule above: the cs state is a single
+driver-held blob by design (it is what callers broadcast for probing),
+bounded by the config guard in ``sketches/countsketch.py`` — only the
+shard-table families keep states executor-side end to end.
 """
 
 from __future__ import annotations
