@@ -271,3 +271,41 @@ class TestStreamingWindowedMG:
         assert w0.is_exact and w1.is_exact  # k=16 > cardinality: exact
         assert dict(w0.top()) == {b"a": 2, b"b": 1}
         assert dict(w1.top()) == {b"c": 3}
+
+
+class TestMGRollup:
+    def test_reaggregate_keeps_bound_and_exact_regime(self, spark, sf_smoke):
+        """MG states re-aggregated to the global grouping through the
+        rollup operator (states only, no rescan): in the exact regime
+        (k above global cardinality) every rolled-up count equals the
+        exact global count; with a tiny k the PODS'12 bound must still
+        hold for every retained key after the rollup merge."""
+        from pyspark.sql import functions as F
+
+        from probabilistic_rs_spark.operators.rollup import reaggregate_states
+        from probabilistic_rs_spark.operators.sketch_agg import SketchSpec, sketch_aggregate
+        from probabilistic_rs_spark.sketches.mg import MisraGries
+
+        ev = spark.read.parquet(f"{sf_smoke}/events.parquet")
+        exact = {
+            str(r["user_id"]): r["n"]
+            for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+        }
+
+        def rolled(k):
+            spec = SketchSpec("mg", "mg", "user_id", {"k": k})
+            per_type = sketch_aggregate(ev, ["event_type"], [spec])
+            out = reaggregate_states(per_type, ["event_type"], [], [spec])
+            return MisraGries.from_bytes(bytes(out.head()["mg_state"]))
+
+        big = rolled(4096)  # k >> cardinality: exact through the rollup
+        assert big.is_exact
+        assert {k.decode(): v for k, v in big.top()} == exact
+
+        small = rolled(8)  # forced compaction at both levels
+        d = small.max_undercount()
+        assert d > 0
+        assert small.n_total == sum(exact.values())
+        for key, est in small.top():
+            true = exact[key.decode()]
+            assert est <= true <= est + d
