@@ -717,8 +717,17 @@ def native_cuckoo_probe(
         raise SketchConfigError(f"shards disagree on geometry: {geo}")
     m, fb, b = geo.pop()
     tdf = _cuckoo_tables_df(probe_df.sparkSession, shard_states, shards)
-    member = _native_cuckoo_member_expr(
-        item_col, F.col("__ck_tables"), len(shard_states), m, fb, b
+    from probabilistic_rs_spark.operators.sketch_agg import pushdown_barrier
+
+    # pushdown_barrier (round 8): keeps a downstream .where(is_member)
+    # from inlining the 2·b slot tests into the join condition, where the
+    # shared h/g/fp hash chain is re-evaluated per slot test per row
+    # (join conditions get no codegen subexpression elimination)
+    member = pushdown_barrier(
+        _native_cuckoo_member_expr(
+            item_col, F.col("__ck_tables"), len(shard_states), m, fb, b
+        ),
+        boolean=True,
     )
     return (
         probe_df.crossJoin(F.broadcast(tdf))
@@ -730,8 +739,11 @@ def native_cuckoo_probe(
 def native_cuckoo_semi_filter(
     probe_df: DataFrame, item_col: str, shard_states: list[bytes]
 ) -> DataFrame:
-    """Semi-join form: the membership predicate sits in the join
-    condition (single evaluation), like ``native_bloom_semi_filter``."""
+    """Semi-join form, like ``native_bloom_semi_filter``: the membership
+    predicate is evaluated once in a barriered ProjectExec (round 8 —
+    in the join condition it would be evaluated without codegen CSE,
+    re-deriving the h/g/fp hash chain per slot test per row) and the
+    filter reads the materialized bit."""
     shards = [_filter_from_bytes(b) for b in shard_states]
     if not all(isinstance(sk, NativeCuckooFilter) for sk in shards):
         raise SketchConfigError(
@@ -742,9 +754,17 @@ def native_cuckoo_semi_filter(
         raise SketchConfigError(f"shards disagree on geometry: {geo}")
     m, fb, b = geo.pop()
     tdf = _cuckoo_tables_df(probe_df.sparkSession, shard_states, shards)
-    member = _native_cuckoo_member_expr(
-        item_col, F.col("__ck_tables"), len(shard_states), m, fb, b
+    from probabilistic_rs_spark.operators.sketch_agg import pushdown_barrier
+
+    member = pushdown_barrier(
+        _native_cuckoo_member_expr(
+            item_col, F.col("__ck_tables"), len(shard_states), m, fb, b
+        ),
+        boolean=True,
     )
     return (
-        probe_df.crossJoin(F.broadcast(tdf)).where(member).drop("__ck_tables")
+        probe_df.crossJoin(F.broadcast(tdf))
+        .withColumn("__nck_member", member)
+        .where(F.col("__nck_member"))
+        .drop("__ck_tables", "__nck_member")
     )

@@ -398,6 +398,13 @@ def native_cms_probe(
         row = F.element_at(F.col("__cms_rows"), F.lit(int(j) + 1))
         lookups.append(F.element_at(row, cell.cast("int") + F.lit(1)))
     est = F.least(*lookups) if len(lookups) > 1 else lookups[0]
+    from probabilistic_rs_spark.operators.sketch_agg import pushdown_barrier
+
+    # pushdown_barrier (round 8): keeps a downstream filter on the
+    # estimate from inlining the d lookups into the join condition (no
+    # codegen CSE there — the shared xxhash64/h1/h2 chain re-evaluates
+    # per lookup per row); the barriered ProjectExec computes them once
+    est = pushdown_barrier(est)
     return (
         probe_df.crossJoin(F.broadcast(tdf))
         .withColumn(out_col, est)

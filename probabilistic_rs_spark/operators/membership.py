@@ -206,16 +206,23 @@ def native_bloom_probe(
     bounded by the configured FPR; zero false negatives (build and probe
     share the exact position expressions).
 
-    When the next operation is a filter on the membership bit, prefer
-    :func:`native_bloom_semi_filter` — it puts the predicate straight in
-    the join condition (single evaluation), where this column form gets
-    the predicate duplicated into the join by Catalyst's pushdown."""
+    The membership column is wrapped in ``pushdown_barrier`` (round 8):
+    a downstream ``.where(is_member)`` otherwise inlines the k bit tests
+    into the broadcast join's condition, which is evaluated WITHOUT
+    whole-stage codegen's common-subexpression elimination — the two KM
+    base hashes get re-evaluated once per bit test per row. The barrier
+    keeps the predicate in a ProjectExec (one evaluation, hashes CSE'd)
+    and the filter reads the materialized column."""
+    from probabilistic_rs_spark.operators.sketch_agg import pushdown_barrier
     from probabilistic_rs_spark.sketches.native_bloom import NativeBloomSketch
 
     sk = NativeBloomSketch.from_bytes(state)
     bf_df = _native_words_df(probe_df.sparkSession, state, sk.words())
     joined = probe_df.crossJoin(F.broadcast(bf_df))
-    member = _native_member_expr(item_col, F.col("__nbf_words"), sk.m, sk.k)
+    member = pushdown_barrier(
+        _native_member_expr(item_col, F.col("__nbf_words"), sk.m, sk.k),
+        boolean=True,
+    )
     return joined.withColumn(out_col, member).drop("__nbf_words")
 
 
@@ -223,13 +230,25 @@ def native_bloom_semi_filter(
     probe_df: DataFrame, item_col: str, state: bytes
 ) -> DataFrame:
     """`bloom_semi_filter` on the native-hash family: the 100 TB semi-join
-    pre-filter with the probe predicate evaluated ONCE, as the join
-    condition, entirely JVM-side."""
+    pre-filter with the probe predicate evaluated ONCE, entirely
+    JVM-side — in a ProjectExec behind a ``pushdown_barrier`` rather
+    than as the join condition (round 8): join conditions are evaluated
+    without codegen's common-subexpression elimination, so the k bit
+    tests each re-derived both KM base hashes per row; the barriered
+    projection computes the two hashes once and the filter reads the
+    materialized bit."""
+    from probabilistic_rs_spark.operators.sketch_agg import pushdown_barrier
     from probabilistic_rs_spark.sketches.native_bloom import NativeBloomSketch
 
     sk = NativeBloomSketch.from_bytes(state)
     bf_df = _native_words_df(probe_df.sparkSession, state, sk.words())
-    member = _native_member_expr(item_col, F.col("__nbf_words"), sk.m, sk.k)
+    member = pushdown_barrier(
+        _native_member_expr(item_col, F.col("__nbf_words"), sk.m, sk.k),
+        boolean=True,
+    )
     return (
-        probe_df.crossJoin(F.broadcast(bf_df)).where(member).drop("__nbf_words")
+        probe_df.crossJoin(F.broadcast(bf_df))
+        .withColumn("__nbf_member", member)
+        .where(F.col("__nbf_member"))
+        .drop("__nbf_words", "__nbf_member")
     )

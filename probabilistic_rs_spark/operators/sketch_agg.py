@@ -189,6 +189,39 @@ def native_bloom_position_exprs(col: Column, m: int, k: int) -> list[Column]:
     ]
 
 
+def pushdown_barrier(col: Column, boolean: bool = False) -> Column:
+    """Value-preserving pushdown barrier for the native (JVM-expression)
+    probe family: ``col + monotonically_increasing_id()·0`` — numerically
+    the identity, but the nondeterministic term stops the optimizer from
+    substituting the probe expression into a downstream filter.
+
+    Why this matters (measured, round 8): a caller's
+    ``.where(est > 0)`` / ``.where(is_member)`` otherwise gets the probe
+    expression INLINED into the broadcast join's condition, and join
+    conditions are evaluated without whole-stage codegen's common-
+    subexpression elimination — every shared subtree of the probe
+    expression (the KM base hashes, the median network's wires) is
+    re-evaluated per reference per row. With the barrier the expression
+    is computed once in a ProjectExec (which does eliminate common
+    subexpressions) and the filter reads the materialized column:
+    4.1 s → 0.58 s for the count-sketch median probe over 10⁶ rows.
+
+    ``monotonically_increasing_id`` (unlike ``rand``/``shuffle``) embeds
+    no per-query seed, so the generated code is byte-stable across
+    actions and the codegen cache keeps hitting. Trade-off: unrelated
+    downstream predicates also stop pushing past the probe projection —
+    apply only where the probe expression is the dominant per-row cost
+    (guide §4.4 makes the same trade for expensive UDFs).
+
+    ``boolean=True`` uses the boolean identity ``col AND (id·0 = 0)``
+    (the arithmetic form would change the column type); both forms
+    preserve the column's nullability."""
+    zero = F.monotonically_increasing_id() * F.lit(0)
+    if boolean:
+        return col & (zero == F.lit(0))
+    return col + zero
+
+
 def _value_expr(spec: SketchSpec) -> Column:
     """JVM-side value preparation — stays inside whole-stage codegen."""
     col = F.col(spec.column)

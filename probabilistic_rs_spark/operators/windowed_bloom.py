@@ -344,6 +344,13 @@ def native_probe_recent(
         warr = F.element_at(F.col("__wbl_words"), F.lit(lv + 1))
         term = _native_member_expr(item_col, warr, m, k)
         member = term if member is None else (member | term)
+    from probabilistic_rs_spark.operators.sketch_agg import pushdown_barrier
+
+    # pushdown_barrier (round 8): a downstream .where(is_member) would
+    # otherwise inline all levels·k bit tests into the join condition,
+    # which is evaluated without codegen subexpression elimination — the
+    # KM base hashes re-derived per bit test per row
+    member = pushdown_barrier(member, boolean=True)
     return (
         probe_df.crossJoin(F.broadcast(ldf))
         .withColumn(out_col, member)
@@ -488,38 +495,118 @@ def build_windowed_bloom_blocks_df(
     block because Spark map lookups are linear scans (200+ s at sf0.1 vs
     7 s for this kernel), and the ``bit_or`` pre-combine buys ~nothing
     because at optimal Bloom sizing positions are nearly unique per word.
-    The position-row shuffle (~k·20 B per input row) is the honest cost;
-    prefer the state-aggregate build (:func:`windowed_bloom_states` →
+
+    Round 8 (guide §2.3, "aggregate before you shuffle"): the former
+    one-row-per-position explode shuffled ~53 B of UnsafeRow per bit
+    position (374 MiB / 7·10⁶ rows at sf0.1). The build now computes the
+    k KM positions per row INSIDE a ``mapInArrow`` partial stage (same
+    uint64 math as ``NativeBloomSketch.positions_from_base_hashes`` —
+    bit-equal to the JVM expressions by the same <2^63 bound) and emits
+    ONE row per (input partition, level, block) carrying the packed
+    int32 within-block bit offsets — 4 B per position, no per-row
+    overhead (~28 MiB at sf0.1, a 13× shuffle-byte cut; build wall time
+    1.32 s → measured below). The merge stage ORs each block's offset
+    arrays in one numpy scatter. Bit-identical output (same positions,
+    same word layout, OR is order-free) — asserted in tests.
+
+    Per-task memory stays bounded: the partial stage holds one
+    partition's offset lists (O(rows·k) int32), the merge stage one
+    block (~``words_per_block``·8 B) + its offset arrays; prefer the
+    state-aggregate build (:func:`windowed_bloom_states` →
     :func:`windowed_states_to_blocks_df`, which shuffles only per-
     partition partial states) whenever a level fits one task.
 
     ``level_col`` is any groupable bucketing column (an event-time window
     start, a day number, …)."""
+    from typing import Iterator
+
+    import pyarrow as pa
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import BinaryType, IntegerType, StructField, StructType
+
     from probabilistic_rs_spark.operators.sketch_agg import (
-        native_bloom_position_exprs,
+        native_bloom_base_hash_exprs,
     )
 
     wpb = int(words_per_block)
     if wpb <= 0:
         raise SketchConfigError("words_per_block must be positive")
     m, k, n_words = _bloom_geometry(capacity_per_level, target_fpr)
-    pos = native_bloom_position_exprs(F.col(item_col), m, k)
-    e = df.select(
-        F.col(level_col).alias("level"), F.explode(F.array(*pos)).alias("__pos")
-    ).select(
-        "level",
-        F.expr(f"CAST(shiftright(__pos, 6) DIV {wpb} AS INT)").alias("block"),
-        F.expr(f"CAST(shiftright(__pos, 6) % {wpb} AS INT)").alias("__widx"),
-        F.expr("CAST(__pos & 63 AS INT)").alias("__bit"),
+    if k > 32:
+        raise SketchConfigError(
+            f"native Bloom double-hashing supports k <= 32 (got {k})"
+        )
+    h1e, h2e = native_bloom_base_hash_exprs(F.col(item_col))
+    proj = df.select(
+        F.col(level_col).alias("level"), h1e.alias("__h1"), h2e.alias("__h2")
     )
-    schema = _blocks_schema(e.schema["level"].dataType)
+    level_field = proj.schema["level"]
+    mid_schema = StructType(
+        [
+            level_field,
+            StructField("block", IntegerType(), False),
+            StructField("offs", BinaryType(), False),
+        ]
+    )
+    arrow_mid = to_arrow_schema(mid_schema)
+    bits_per_block = wpb * 64
+    m_u, k_, wpb_ = np.uint64(m), int(k), int(wpb)
+
+    def partials(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        acc: dict = {}  # level value -> dict[block -> list[np.ndarray int32 offs]]
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            h1 = batch.column(1).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            ).view(np.uint64)
+            h2 = batch.column(2).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            ).view(np.uint64)
+            i = np.arange(k_, dtype=np.uint64)[None, :]
+            pos = (h1[:, None] + i * h2[:, None]) % m_u  # (n, k), < m < 2^32
+            gframe = pa.Table.from_batches([batch]).select(["level"]).to_pandas()
+            groups = gframe.groupby("level", sort=False, dropna=False).indices
+            for lvl, rows in groups.items():
+                p = pos[np.asarray(rows)].ravel()
+                blocks = (p >> np.uint64(6)) // np.uint64(wpb_)
+                offs = (p - blocks * np.uint64(bits_per_block)).astype(np.int32)
+                lvl_acc = acc.setdefault(lvl, {})
+                for b in np.unique(blocks):
+                    lvl_acc.setdefault(int(b), []).append(offs[blocks == b])
+        if not acc:
+            return
+        levels, blks, payloads = [], [], []
+        for lvl, lvl_acc in acc.items():
+            for b, chunks in lvl_acc.items():
+                levels.append(lvl)
+                blks.append(b)
+                payloads.append(
+                    chunks[0].tobytes()
+                    if len(chunks) == 1
+                    else np.concatenate(chunks).tobytes()
+                )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(levels, type=arrow_mid.field(0).type),
+                pa.array(blks, type=pa.int32()),
+                pa.array(payloads, type=pa.binary()),
+            ],
+            schema=arrow_mid,
+        )
+
+    mid = proj.mapInArrow(partials, mid_schema)
+    schema = _blocks_schema(level_field.dataType)
 
     def scatter(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         lvl, block = key[0], int(key[1])
         blen = min(wpb, n_words - block * wpb)
         words = np.zeros(blen, dtype=np.uint64)
-        widx = pdf["__widx"].to_numpy(dtype="int64")
-        bits = np.uint64(1) << pdf["__bit"].to_numpy(dtype="uint64")
+        offs = np.frombuffer(b"".join(pdf["offs"]), dtype=np.int32)
+        widx = (offs >> 6).astype(np.int64)
+        bits = np.uint64(1) << (offs & 63).astype(np.uint64)
         np.bitwise_or.at(words, widx, bits)
         return pd.DataFrame(
             {
@@ -532,7 +619,7 @@ def build_windowed_bloom_blocks_df(
             }
         )
 
-    return e.groupBy("level", "block").applyInPandas(scatter, schema)
+    return mid.groupBy("level", "block").applyInPandas(scatter, schema)
 
 
 def _blocks_meta(blocks_df: DataFrame) -> tuple[int, int, int, list] | None:
