@@ -569,15 +569,74 @@ def build_cms_blocks_df(
     counts = df.groupBy(
         F.xxhash64(F.col(key_col).cast("string")).alias("__h")
     ).agg(F.count(F.lit(1)).alias("__c"))
-    e = counts.select(
-        F.explode(F.array(*_cms_cell_structs(F.col("__h"), d, w))).alias("__rc"),
-        "__c",
-    ).select(
-        F.col("__rc.row").alias("row"),
-        F.expr(f"CAST(__rc.cell DIV {cpb} AS INT)").alias("block"),
-        F.expr(f"CAST(__rc.cell % {cpb} AS INT)").alias("__off"),
-        "__c",
+
+    # Round 8 (guide §2.3, same packing as the windowed-bloom block
+    # build): the former explode shipped one ~24 B UnsafeRow per (key,
+    # row) cell target (d·distinct rows) into the scatter shuffle plus an
+    # applyInPandas sort of all of them. The cell targets are now derived
+    # in a mapInArrow stage over the aggregated (hash, count) rows —
+    # identical KM arithmetic in uint64 — and each (partition, row,
+    # block) emits ONE row with packed int32 offsets + int64 counts
+    # (12 B/cell, no row overhead). The scatter sums them per block with
+    # one np.add.at. Cell sums are order-free, so the blocks table is
+    # bit-identical to the explode formulation's.
+    mid_schema = StructType(
+        [
+            StructField("row", IntegerType(), False),
+            StructField("block", IntegerType(), False),
+            StructField("offs", BinaryType(), False),
+            StructField("cnts", BinaryType(), False),
+        ]
     )
+    d_, w_u, cpb_ = int(d), np.uint64(w), np.uint64(cpb)
+
+    def derive(batches):
+        import pyarrow as pa
+
+        acc: dict = {}  # (row, block) -> list[(offs int32[], cnts int64[])]
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            h = batch.column(0).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            ).view(np.uint64)
+            c = batch.column(1).to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            h1 = h >> np.uint64(32)
+            h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+            mask = w_u - np.uint64(1)
+            for j in range(d_):
+                cells = (h1 + np.uint64(j) * h2) & mask
+                blocks = cells // cpb_
+                offs = (cells - blocks * cpb_).astype(np.int32)
+                for b in np.unique(blocks):
+                    sel = blocks == b
+                    acc.setdefault((j, int(b)), []).append((offs[sel], c[sel]))
+        if not acc:
+            return
+        rows, blks, offs_p, cnts_p = [], [], [], []
+        for (j, b), chunks in acc.items():
+            rows.append(j)
+            blks.append(b)
+            if len(chunks) == 1:
+                o, cc = chunks[0]
+            else:
+                o = np.concatenate([x[0] for x in chunks])
+                cc = np.concatenate([x[1] for x in chunks])
+            offs_p.append(o.tobytes())
+            cnts_p.append(cc.tobytes())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(rows, type=pa.int32()),
+                pa.array(blks, type=pa.int32()),
+                pa.array(offs_p, type=pa.binary()),
+                pa.array(cnts_p, type=pa.binary()),
+            ],
+            names=["row", "block", "offs", "cnts"],
+        )
+
+    mid = counts.mapInArrow(derive, mid_schema)
     schema = (
         "row int, block int, cells array<bigint>, d int, w bigint, "
         "cells_per_block int"
@@ -587,11 +646,9 @@ def build_cms_blocks_df(
         row, block = int(key[0]), int(key[1])
         blen = min(cpb, w - block * cpb)
         cells = np.zeros(blen, dtype=np.int64)
-        np.add.at(
-            cells,
-            pdf["__off"].to_numpy(dtype="int64"),
-            pdf["__c"].to_numpy(dtype="int64"),
-        )
+        offs = np.frombuffer(b"".join(pdf["offs"]), dtype=np.int32)
+        cnts = np.frombuffer(b"".join(pdf["cnts"]), dtype=np.int64)
+        np.add.at(cells, offs.astype(np.int64), cnts)
         return pd.DataFrame(
             {
                 "row": pd.Series([row], dtype="int32"),
@@ -603,7 +660,7 @@ def build_cms_blocks_df(
             }
         )
 
-    return e.groupBy("row", "block").applyInPandas(scatter, schema)
+    return mid.groupBy("row", "block").applyInPandas(scatter, schema)
 
 
 def _cms_blocks_meta(blocks_df: DataFrame) -> tuple[int, int, int] | None:

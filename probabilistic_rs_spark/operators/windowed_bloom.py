@@ -743,18 +743,53 @@ def windowed_bloom_partitioned_probe(
         F.call_function("shiftrightunsigned", word, F.col("__bit")).bitwiseAND(F.lit(1))
         == F.lit(1)
     )
-    per_level = (
-        e.join(blocks.select("level", "block", "words"), "block")
-        .where(bit_set)
-        .groupBy("__wbh1", "__wbh2", "level")
-        .agg(F.count(F.lit(1)).alias("__nset"))
-    )
-    members = (
-        per_level.where(F.col("__nset") == F.lit(k))
-        .select("__wbh1", "__wbh2")
-        .distinct()
-        .withColumn("__wbp_hit", F.lit(True))
-    )
+    joined = e.join(blocks.select("level", "block", "words"), "block").where(bit_set)
+    # active levels are already known driver-side (the meta agg collected
+    # them — O(active windows)), so the per-level set-bit counts fold
+    # into ONE aggregation keyed on the KM pair via conditional sums
+    # (round 8, guide §2.4): the former groupBy(h1, h2, level) →
+    # filter(nset = k) → distinct(h1, h2) pair of aggregations becomes a
+    # single hash aggregate (the level pivot), halving the aggregation
+    # stages; the verdict per level is count-of-set-bits == k, member =
+    # any level. Falls back to the two-stage shape when the level list
+    # is large (a pivot column per level stops paying past a few
+    # hundred).
+    unrestricted = num_levels is None and as_of is None
+    act_levels = sorted(levels, reverse=True) if unrestricted else keep
+    if len(act_levels) <= 256:
+        cnts = [
+            F.sum(F.when(F.col("level") == F.lit(lv), 1).otherwise(0)).alias(f"__l{i}")
+            for i, lv in enumerate(act_levels)
+        ]
+        # collect_set drops a null level; in the unrestricted walk the
+        # old per-level groupBy DID count it as a level of its own —
+        # keep that behavior with one extra conditional column
+        if unrestricted:
+            cnts.append(
+                F.sum(F.when(F.col("level").isNull(), 1).otherwise(0)).alias("__lnull")
+            )
+        agged = joined.groupBy("__wbh1", "__wbh2").agg(*cnts)
+        hit = None
+        for i in range(len(cnts)):
+            name = f"__l{i}" if i < len(act_levels) else "__lnull"
+            term = F.col(name) == F.lit(k)
+            hit = term if hit is None else (hit | term)
+        members = (
+            agged.where(hit)
+            .select("__wbh1", "__wbh2")
+            .withColumn("__wbp_hit", F.lit(True))
+        )
+    else:
+        per_level = (
+            joined.groupBy("__wbh1", "__wbh2", "level")
+            .agg(F.count(F.lit(1)).alias("__nset"))
+        )
+        members = (
+            per_level.where(F.col("__nset") == F.lit(k))
+            .select("__wbh1", "__wbh2")
+            .distinct()
+            .withColumn("__wbp_hit", F.lit(True))
+        )
     # (h1, h2) are non-null even for null items (xxhash64 skips nulls and
     # finalizes to a constant — the build inserted null items at exactly
     # those positions too), so a plain equi-join is null-correct
