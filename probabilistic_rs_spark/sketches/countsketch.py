@@ -132,7 +132,10 @@ class CountSketch:
             return np.zeros(0, dtype=np.int64)
         cells, signs = self._cells_signs(np.asarray(base))
         reads = signs * self.table[np.arange(self.d)[:, None], cells]
-        return np.median(reads, axis=0).astype(np.int64)
+        # middle-element select keeps the median in exact int64 (ADVICE
+        # r7: np.median converts to float64, which can differ by a ULP
+        # from the Batcher network's exact int64 for |read| > 2^53)
+        return np.partition(reads, self.d // 2, axis=0)[self.d // 2]
 
     def f2_estimate(self) -> float:
         """AMS second-moment / self-join-size estimate: median over rows of
@@ -177,6 +180,11 @@ class CountSketch:
             cnt = np.frombuffer(data, dtype=np.int64, offset=body_off + 4 * nnz, count=nnz)
             if nnz and int(idx.max()) >= d * w:
                 raise SketchStateError("sparse count-sketch index out of range")
+            if nnz > 1 and np.any(np.diff(idx.astype(np.int64)) <= 0):
+                # to_bytes emits np.flatnonzero output (sorted-unique); a
+                # blob with duplicate indices would decode differently on
+                # the assignment vs add paths (ADVICE r7) — reject it
+                raise SketchStateError("sparse count-sketch indices not sorted-unique")
             np.add.at(self.table, (idx // w, idx % w), cnt)
         else:
             table = np.frombuffer(data, dtype=np.int64, offset=body_off)
@@ -217,6 +225,8 @@ class CountSketch:
             cnt = np.frombuffer(data, dtype=np.int64, offset=body_off + 4 * nnz, count=nnz)
             if nnz and int(idx.max()) >= d * w:
                 raise SketchStateError("sparse count-sketch index out of range")
+            if nnz > 1 and np.any(np.diff(idx.astype(np.int64)) <= 0):
+                raise SketchStateError("sparse count-sketch indices not sorted-unique")
             sk.table[idx // w, idx % w] = cnt
         else:
             table = np.frombuffer(data, dtype=np.int64, offset=body_off)

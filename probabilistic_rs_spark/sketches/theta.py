@@ -158,6 +158,11 @@ class ThetaSketch:
         sk.n_updates = n_updates
         if theta > THETA_MAX:
             raise SketchStateError(f"theta above domain max: {theta}")
+        if theta == 0:
+            # a zero theta passes the sorted-unique check vacuously but
+            # makes estimate() divide by zero later — reject at the wire
+            # boundary like the round-7 cuckoo/KLL guards (ADVICE r7)
+            raise SketchStateError("theta must be positive")
         if sk.retained.size and (
             sk.retained[-1] >= sk.theta or np.any(np.diff(sk.retained.view(np.int64)) <= 0)
         ):
