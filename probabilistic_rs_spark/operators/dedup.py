@@ -106,7 +106,11 @@ def with_shingles(
 
 
 def with_shingle_hashes(
-    df: DataFrame, text_col: str, n: int = 2, out_col: str = "shingles"
+    df: DataFrame,
+    text_col: str,
+    n: int = 2,
+    out_col: str = "shingles",
+    distinct: bool = True,
 ) -> DataFrame:
     """`with_shingles` with shingle IDENTITY instead of shingle text: each
     n-gram becomes ``xxhash64(word_1, …, word_n)`` directly from the
@@ -119,6 +123,13 @@ def with_shingle_hashes(
 
     Identity is exact up to xxhash64 collisions (2^-64 per pair —
     billions of times below any dedup threshold's noise floor).
+
+    ``distinct=False`` skips the per-row ``array_distinct`` (round 8):
+    consumers whose downstream math is duplicate-invariant — MinHash's
+    per-bin minimum is idempotent, so the signature of a multiset
+    equals the signature of its set — can drop the per-row hash-set
+    pass without changing a single output value. Set-semantics
+    consumers (the Jaccard index/verify paths) keep the default.
     """
     wcol = f"__{out_col}_words"
     with_words = df.withColumn(wcol, F.split(F.col(text_col), r"\s+"))
@@ -136,7 +147,9 @@ def with_shingle_hashes(
                 ),
             )
         )
-    return with_words.withColumn(out_col, F.array_distinct(sh)).drop(wcol)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return with_words.withColumn(out_col, sh).drop(wcol)
 
 
 def jaccard_candidate_index(
@@ -320,7 +333,10 @@ def minhash_signatures(
     # old path built just to hash it never exists (VERDICT r3 #8 applied
     # here too); MinHash consumes only the hash set, so signatures stay
     # a pure function of each doc's shingle SET
-    base = with_shingle_hashes(df, text_col, n, out_col="__h").select(
+    # distinct=False: OPH's per-bin minimum is idempotent, so duplicate
+    # shingle hashes cannot change any signature value — the per-row
+    # array_distinct hash-set pass is pure cost here (round 8)
+    base = with_shingle_hashes(df, text_col, n, out_col="__h", distinct=False).select(
         F.col(id_col), F.col("__h")
     )
     num_perm_, seed_ = int(num_perm), int(seed)
